@@ -1,0 +1,277 @@
+"""LinkGraph — the engine's graph object.
+
+A from-scratch PySpark analog of the reference's Graph wrapper
+(``python/cugraph/cugraph/structure/graph_classes.py:40-1023`` and the build
+pipeline in ``structure/graph_implementation/simpleGraph.py:122-302``): it
+holds a canonical internal edge DataFrame ``[src: long, dst: long,
+weight: double]``, a renumber map ``[ext ids..., id: long]`` (reference:
+``structure/number_map.py:24-139``), and graph properties.
+
+Scale notes (100 TB design):
+- the canonical edge DataFrame is hash-repartitioned by ``src`` once at build
+  time and persisted; iterative algorithms join vertex state against it on
+  ``src`` with a matching partitioner so the big table never re-shuffles
+  (only the small vertex-state side moves).
+- renumbering assigns dense ids by (degree desc, ext_id asc) — the
+  reference's degree-descending renumber
+  (``cpp/src/structure/renumber_edgelist_impl.cuh:529-533``) — so hot
+  vertices occupy a known id prefix and skew mitigation is an id-range
+  filter. Id assignment uses range-partitioned sort + per-partition offsets
+  (never a single-partition global window, never
+  ``monotonically_increasing_id``), so it is deterministic at any
+  parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SRC = "src"
+DST = "dst"
+WGT = "weight"
+VID = "id"
+EXT = "ext_id"
+
+
+@dataclass
+class GraphProperties:
+    """Reference: ``simpleGraph.py:84-94`` (directed/weighted/renumbered…)."""
+
+    directed: bool = True
+    weighted: bool = False
+    renumbered: bool = True
+    multi_edge: bool = False
+    self_loops: bool = True
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list,
+    id_col: str = VID,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign contiguous 0..N-1 ids following a total order, scalably.
+
+    Range-partition on the order columns, row_number within each partition,
+    then add the exclusive prefix-sum of partition sizes (a tiny driver-side
+    map, broadcast back). Deterministic for any partition count because the
+    id equals the global rank under the total order; never uses
+    ``monotonically_increasing_id`` (SURVEY §4).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    numbered = with_pid.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in numbered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG"
+    )
+    return (
+        numbered.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(id_col, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def symmetrize_edges(edges: DataFrame, weighted: bool) -> DataFrame:
+    """Union reverse edges and dedup with min(weight).
+
+    Reference semantics: ``structure/symmetrize.py:80-88`` — reverse union
+    then ``groupby(src,dst).min()`` over attributes.
+    """
+    rev = edges.select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST), *( [WGT] if weighted else [] )
+    )
+    both = edges.select(SRC, DST, *([WGT] if weighted else [])).union(rev)
+    if weighted:
+        return both.groupBy(SRC, DST).agg(F.min(WGT).alias(WGT))
+    return both.distinct().withColumn(WGT, F.lit(1.0))
+
+
+class LinkGraph:
+    """Edge-DataFrame graph with reference-parity construction semantics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        renumber_map: DataFrame | None,
+        properties: GraphProperties,
+        num_partitions: int,
+    ):
+        self.spark = spark
+        self.edges = edges  # [src long, dst long, weight double], partitioned by src
+        self.renumber_map = renumber_map  # [ext_id ..., id long] or None
+        self.properties = properties
+        self.num_partitions = num_partitions
+        self._num_vertices: int | None = None
+        self._num_edges: int | None = None
+        self._degrees_cache: DataFrame | None = None
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def from_edges(
+        cls,
+        df: DataFrame,
+        src: str = SRC,
+        dst: str = DST,
+        weight: str | None = None,
+        directed: bool = True,
+        renumber: bool = True,
+        drop_self_loops: bool = False,
+        dedup: bool = True,
+        num_partitions: int | None = None,
+    ) -> "LinkGraph":
+        """Build pipeline mirroring ``simpleGraph.py:122-302``:
+        validate → renumber → symmetrize (undirected) → dedup → persist
+        canonical internal edges co-partitioned by src.
+        """
+        spark = df.sparkSession
+        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        weighted = weight is not None
+
+        cols = [F.col(src).alias("_esrc"), F.col(dst).alias("_edst")]
+        if weighted:
+            cols.append(F.col(weight).cast("double").alias(WGT))
+        raw = df.select(*cols)
+        if drop_self_loops:
+            raw = raw.filter(F.col("_esrc") != F.col("_edst"))
+
+        renumber_map = None
+        if renumber:
+            # distinct union of endpoints (number_map.py:111-139), ids by
+            # (degree desc, ext asc) (renumber_edgelist_impl.cuh:529-533)
+            srcs = raw.select(F.col("_esrc").alias(EXT))
+            dsts = raw.select(F.col("_edst").alias(EXT))
+            deg = (
+                srcs.union(dsts)
+                .groupBy(EXT)
+                .agg(F.count("*").alias("_deg"))
+            )
+            renumber_map = assign_dense_ids(
+                deg, [F.col("_deg").desc(), F.col(EXT).asc()], VID, n
+            ).select(EXT, VID).persist()
+            renumber_map.count()  # materialize for determinism + reuse
+
+            m_src = renumber_map.select(
+                F.col(EXT).alias("_esrc"), F.col(VID).alias(SRC)
+            )
+            m_dst = renumber_map.select(
+                F.col(EXT).alias("_edst"), F.col(VID).alias(DST)
+            )
+            edges = (
+                raw.join(m_src, "_esrc").join(m_dst, "_edst").drop("_esrc", "_edst")
+            )
+        else:
+            edges = raw.select(
+                F.col("_esrc").cast("long").alias(SRC),
+                F.col("_edst").cast("long").alias(DST),
+                *([WGT] if weighted else []),
+            )
+
+        if not weighted:
+            # implicit weight 1.0 for unweighted graphs (pagerank.py:45-52)
+            edges = edges.withColumn(WGT, F.lit(1.0))
+
+        if not directed:
+            edges = symmetrize_edges(edges, weighted=True)
+        elif dedup:
+            # directed path still drops duplicate edges (symmetrize.py:60-88)
+            edges = edges.groupBy(SRC, DST).agg(F.min(WGT).alias(WGT))
+
+        edges = edges.repartition(n, SRC).persist()
+        edges.count()
+
+        props = GraphProperties(
+            directed=directed,
+            weighted=weighted,
+            renumbered=renumber,
+            self_loops=not drop_self_loops,
+        )
+        return cls(spark, edges, renumber_map, props, n)
+
+    # ---------------------------------------------------------------- basics
+    def vertices(self) -> DataFrame:
+        """All internal vertex ids, one row each."""
+        if self.renumber_map is not None:
+            return self.renumber_map.select(VID)
+        return (
+            self.edges.select(F.col(SRC).alias(VID))
+            .union(self.edges.select(F.col(DST).alias(VID)))
+            .distinct()
+        )
+
+    def number_of_vertices(self) -> int:
+        if self._num_vertices is None:
+            self._num_vertices = self.vertices().count()
+        return self._num_vertices
+
+    def number_of_edges(self) -> int:
+        if self._num_edges is None:
+            self._num_edges = self.edges.count()
+        return self._num_edges
+
+    # --------------------------------------------------------------- degrees
+    def degrees(self) -> DataFrame:
+        """[id, in_degree, out_degree] incl. isolated vertices as 0
+        (reference ``simpleGraph.py:1052-1080``)."""
+        if self._degrees_cache is None:
+            outd = self.edges.groupBy(F.col(SRC).alias(VID)).agg(
+                F.count("*").alias("out_degree")
+            )
+            ind = self.edges.groupBy(F.col(DST).alias(VID)).agg(
+                F.count("*").alias("in_degree")
+            )
+            self._degrees_cache = (
+                self.vertices()
+                .join(outd, VID, "left")
+                .join(ind, VID, "left")
+                .fillna(0, ["in_degree", "out_degree"])
+                .persist()
+            )
+        return self._degrees_cache
+
+    def out_weight_sums(self) -> DataFrame:
+        """[id, out_wsum] — Σ outgoing edge weight per vertex, 0 for dangling
+        (reference ``pagerank_impl.cuh:188-205``: out-degree if unweighted)."""
+        ws = self.edges.groupBy(F.col(SRC).alias(VID)).agg(
+            F.sum(WGT).alias("out_wsum")
+        )
+        return (
+            self.vertices().join(ws, VID, "left").fillna(0.0, ["out_wsum"])
+        )
+
+    # ------------------------------------------------------------ un/renumber
+    def unrenumber(self, df: DataFrame, col: str = "vertex") -> DataFrame:
+        """Map an internal-id column back to external ids
+        (reference ``number_map.py:603-723``)."""
+        if self.renumber_map is None:
+            return df
+        m = self.renumber_map.select(
+            F.col(VID).alias(col), F.col(EXT).alias("_ext")
+        )
+        out = df.join(F.broadcast(m) if self._map_small() else m, col, "left")
+        return out.drop(col).withColumnRenamed("_ext", col)
+
+    def _map_small(self) -> bool:
+        return self.number_of_vertices() < 5_000_000
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        if self.renumber_map is not None:
+            self.renumber_map.unpersist()
+        if self._degrees_cache is not None:
+            self._degrees_cache.unpersist()

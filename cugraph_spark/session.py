@@ -1,0 +1,66 @@
+"""SparkSession factory for the link-graph engine.
+
+Local-mode defaults tuned for the sandbox (local[32], single JVM); on a real
+cluster the same builder flags apply unchanged — AQE, Arrow, and a shuffle
+partition count matched to total cores are what matter at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the ``spark-submit --py-files``
+    analog, per the north rule) so pandas-UDF closures that reference
+    module globals deserialize on any worker regardless of driver cwd."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="cugraph_spark_pyfiles_")
+    zip_base = os.path.join(tmp, "cugraph_spark_pkg")
+    root = os.path.dirname(pkg_dir)
+    archive = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="cugraph_spark")
+    spark.sparkContext.addPyFile(archive)
+
+
+def get_spark(
+    app_name: str = "cugraph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE on (runtime skew-join splitting + partition coalescing),
+    - Arrow on (all our kernels are pandas-on-Arrow, never per-row Python),
+    - shuffle partitions pinned to core count locally (not the 200 default),
+    - UTC session timezone for deterministic timestamp semantics.
+    """
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.default.parallelism", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
