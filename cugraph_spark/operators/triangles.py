@@ -1,0 +1,114 @@
+"""Triangle counting — degree-ordered intersection.
+
+Reference pipeline (``cpp/src/community/triangle_count_impl.cuh``):
+exclude self-loops (``:202-238``), keep the 2-core (``:238-273``), orient
+edges low→high degree with id tie-break (``extract_low_to_high_degree_edges_t``
+``:86-103``), per-edge neighbor intersection where each common neighbor
+credits src, dst and itself (``intersection_op_t:104-113``). API parity:
+``community/triangle_count.py:45-122`` — undirected only, returns
+``DF[vertex, counts]`` with 0 for triangle-free vertices; exact integer
+semantics.
+
+Spark plan: dedup to canonical undirected pairs → degree → orientation
+filter (bounds every adjacency list by out-orientation degree ≤ O(√E), the
+reference's own skew answer) → sorted adjacency via collect_list →
+``array_intersect`` on the two endpoint lists → explode common neighbors →
+credit 3 endpoints → groupBy(vertex).count. The orientation makes the
+collect_list bounded even for web-scale hub vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, VID, LinkGraph
+
+
+def triangle_count(graph: LinkGraph, unrenumber: bool = True) -> DataFrame:
+    """Return DF[vertex, counts]; requires an undirected graph
+    (``triangle_count.py:85-87`` raises on directed)."""
+    if graph.properties.directed:
+        raise ValueError(
+            "input graph must be undirected (reference triangle_count.py:85-87)"
+        )
+    n_part = graph.num_partitions
+
+    # canonical undirected pairs, self-loops excluded (impl.cuh:202-238)
+    und = (
+        graph.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .filter(F.col(SRC) < F.col(DST))
+        .distinct()
+    )
+
+    # degree on the simple undirected graph
+    deg = (
+        und.select(F.col(SRC).alias("v"))
+        .union(und.select(F.col(DST).alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+
+    # orient low→high degree, id tie-break (impl.cuh:86-103)
+    d1 = deg.select(F.col("v").alias(SRC), F.col("deg").alias("deg_s"))
+    d2 = deg.select(F.col("v").alias(DST), F.col("deg").alias("deg_d"))
+    both = und.union(und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    oriented = (
+        both.join(d1, SRC)
+        .join(d2, DST)
+        .filter(
+            (F.col("deg_s") < F.col("deg_d"))
+            | ((F.col("deg_s") == F.col("deg_d")) & (F.col(SRC) < F.col(DST)))
+        )
+        .select(SRC, DST)
+        .repartition(n_part, SRC)
+        .persist()
+    )
+
+    adj = oriented.groupBy(F.col(SRC).alias("v")).agg(
+        F.sort_array(F.collect_list(DST)).alias("nbrs")
+    )
+
+    a_s = adj.select(F.col("v").alias(SRC), F.col("nbrs").alias("nbrs_s"))
+    a_d = adj.select(F.col("v").alias(DST), F.col("nbrs").alias("nbrs_d"))
+    commons = (
+        oriented.join(a_s, SRC)
+        .join(a_d, DST)
+        .select(
+            SRC, DST, F.array_intersect("nbrs_s", "nbrs_d").alias("common")
+        )
+        .filter(F.size("common") > 0)
+    )
+
+    # each common neighbor w of oriented edge (u,v) closes triangle {u,v,w};
+    # credit all three endpoints (intersection_op_t:104-113)
+    credits = (
+        commons.select(F.col(SRC).alias("vertex"), F.size("common").alias("n"))
+        .union(commons.select(F.col(DST).alias("vertex"), F.size("common").alias("n")))
+        .union(
+            commons.select(F.explode("common").alias("vertex")).withColumn(
+                "n", F.lit(1)
+            )
+        )
+    )
+    counts = credits.groupBy("vertex").agg(F.sum("n").alias("counts"))
+
+    out = (
+        graph.vertices()
+        .withColumnRenamed(VID, "vertex")
+        .join(counts, "vertex", "left")
+        .fillna(0, ["counts"])
+        .select("vertex", F.col("counts").cast("long").alias("counts"))
+    )
+    oriented.unpersist()
+    if unrenumber:
+        out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def total_triangles(graph: LinkGraph) -> int:
+    """Σ per-vertex counts / 3 — global triangle count."""
+    df = triangle_count(graph, unrenumber=False)
+    s = df.agg(F.sum("counts")).collect()[0][0] or 0
+    return int(s // 3)
