@@ -1,0 +1,125 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., plus informational extras
+   (pagerank edges/sec, iterations-to-1e-6 — the north-rule metric)}
+
+The graph workload is the derived edge table at K=100_000 vertices
+(~|lineitem| edges — ~600k at sf0.1) so the bench exercises real shuffle
+sizes, not the 1k-vertex correctness graph.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from cugraph_spark.datagen import derived_edges
+from cugraph_spark.graph import LinkGraph
+from cugraph_spark.operators import (
+    label_propagation,
+    pagerank,
+    triangle_count,
+    weakly_connected_components,
+)
+from cugraph_spark import text as tx
+from cugraph_spark import vector as vec
+from cugraph_spark.session import get_spark
+
+BENCH_K = 50_000
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = get_spark(
+        "cugraph_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    timings: dict[str, float] = {}
+    extras: dict = {}
+    t_total0 = time.time()
+
+    # ---- graph build (renumber + dedup + partition) -----------------------
+    t0 = time.time()
+    g = LinkGraph.from_edges(
+        derived_edges(spark, sf_dir, num_vertices=BENCH_K), directed=True
+    )
+    n_edges = g.number_of_edges()
+    n_verts = g.number_of_vertices()
+    timings["graph_build"] = round(time.time() - t0, 3)
+
+    # ---- pagerank to 1e-6 (north-rule headline) ---------------------------
+    t0 = time.time()
+    res = pagerank(g, alpha=0.85, max_iter=300, tol=1e-6, unrenumber=False)
+    res.ranks.count()
+    dt = time.time() - t0
+    timings["pagerank"] = round(dt, 3)
+    extras["pagerank_iterations_to_1e6"] = res.iterations
+    extras["pagerank_edges_per_sec"] = round(n_edges * res.iterations / dt, 1)
+
+    # ---- wcc --------------------------------------------------------------
+    t0 = time.time()
+    weakly_connected_components(g, unrenumber=False).agg(
+        F.countDistinct("labels")
+    ).collect()
+    timings["wcc"] = round(time.time() - t0, 3)
+
+    # ---- label propagation ------------------------------------------------
+    t0 = time.time()
+    label_propagation(g, max_iter=5, unrenumber=False).agg(
+        F.countDistinct("label")
+    ).collect()
+    timings["lpa"] = round(time.time() - t0, 3)
+
+    # ---- triangle count (undirected build included) ----------------------
+    t0 = time.time()
+    gu = LinkGraph.from_edges(
+        derived_edges(spark, sf_dir, num_vertices=BENCH_K), directed=False
+    )
+    triangle_count(gu, unrenumber=False).agg(F.sum("counts")).collect()
+    timings["triangle_count"] = round(time.time() - t0, 3)
+    gu.unpersist()
+    g.unpersist()
+
+    # ---- text pipeline ----------------------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    tx.minhash_dedup(docs, threshold=0.0).count()
+    timings["minhash_near_dup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    tx.doc_stats(docs).agg(F.avg("quality")).collect()
+    tx.simhash(docs).count()
+    timings["text_stats_simhash"] = round(time.time() - t0, 3)
+
+    # ---- vector topk ------------------------------------------------------
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    vec.cosine_topk(emb, k=5, num_queries=100).count()
+    timings["embedding_topk"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total0, 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "graph": {"vertices": n_verts, "edges": n_edges, "k": BENCH_K},
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,8 +5,17 @@ pandas-UDF kernels, explicit partitioning/skew handling, per-iteration
 checkpointing. Not a port — see SURVEY.md for the mapping.
 """
 
+from . import multimodal, text, vector
 from .graph import GraphProperties, LinkGraph, symmetrize_edges
 from .session import get_spark
 
-__all__ = ["LinkGraph", "GraphProperties", "symmetrize_edges", "get_spark"]
+__all__ = [
+    "LinkGraph",
+    "GraphProperties",
+    "symmetrize_edges",
+    "get_spark",
+    "text",
+    "vector",
+    "multimodal",
+]
 __version__ = "0.1.0"

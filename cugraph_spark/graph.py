@@ -37,6 +37,33 @@ VID = "id"
 EXT = "ext_id"
 
 
+def truncate_state(
+    df: DataFrame, num_partitions: int | None = None, *key_cols: str
+) -> DataFrame:
+    """Materialize per-iteration vertex state: repartition (optional) →
+    ``localCheckpoint`` (cuts lineage so plans stay flat) → ``persist`` +
+    count.
+
+    The persist step is NOT redundant: Spark 4's ``localCheckpoint``
+    propagates the origin plan's statistics into the resulting LogicalRDD,
+    and an iterative plan that references the previous state more than once
+    (HITS' hub⋈auth join, WCC's pointer-jumping self-join) SQUARES the
+    sizeInBytes estimate every superstep — the BigInt doubles in digit
+    count per iteration until Catalyst spends minutes in BigInteger
+    multiplication (observed: 10M-digit stats by iteration ~20). Wrapping
+    the checkpoint in a materialized cache makes downstream plans read the
+    InMemoryRelation's ACTUAL byte size instead, resetting the estimate
+    each iteration. Callers must ``unpersist()`` the previous state.
+    """
+    if num_partitions and key_cols:
+        df = df.repartition(num_partitions, *key_cols)
+    # eager checkpoint materializes the RDD (1 job); the cache fills lazily
+    # on the caller's next action (convergence check), so each iteration
+    # costs 2 jobs, not 3 — by the time the NEXT iteration is planned the
+    # cache is materialized and its actual size replaces the estimate
+    return df.localCheckpoint(eager=True).persist()
+
+
 @dataclass
 class GraphProperties:
     """Reference: ``simpleGraph.py:84-94`` (directed/weighted/renumbered…)."""

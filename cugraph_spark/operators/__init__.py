@@ -1,5 +1,21 @@
+from .centrality import (
+    degree_centrality,
+    eigenvector_centrality,
+    hits,
+    katz_centrality,
+)
+from .cores import core_number, k_core
 from .lpa import label_propagation
 from .pagerank import PageRankResult, pagerank
+from .similarity import jaccard, overlap, sorensen
+from .structure import (
+    ego_graph,
+    induced_subgraph,
+    select_random_vertices,
+    two_hop_neighbors,
+    uniform_neighbor_sample,
+)
+from .traversal import bfs, sssp
 from .triangles import total_triangles, triangle_count
 from .wcc import weakly_connected_components
 
@@ -10,4 +26,20 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "total_triangles",
+    "bfs",
+    "sssp",
+    "jaccard",
+    "overlap",
+    "sorensen",
+    "degree_centrality",
+    "hits",
+    "katz_centrality",
+    "eigenvector_centrality",
+    "core_number",
+    "k_core",
+    "two_hop_neighbors",
+    "induced_subgraph",
+    "ego_graph",
+    "select_random_vertices",
+    "uniform_neighbor_sample",
 ]

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, LinkGraph
+from ..graph import DST, SRC, VID, LinkGraph, truncate_state
 
 
 def label_propagation(
@@ -50,14 +50,14 @@ def label_propagation(
         owned = False
 
     labels = graph.vertices().withColumn("label", F.col(VID))
-    labels = labels.repartition(n_part, VID).localCheckpoint(eager=True)
+    labels = truncate_state(labels, n_part, VID)
 
     start_iter = 0
     if checkpointer is not None:
         resumed = checkpointer.resume(spark)
         if resumed is not None:
             start_iter, labels = resumed
-            labels = labels.repartition(n_part, VID).localCheckpoint(eager=True)
+            labels = truncate_state(labels, n_part, VID)
 
     for it in range(start_iter, max_iter):
         nbr_votes = edges.join(
@@ -73,17 +73,19 @@ def label_propagation(
         picked = counts.groupBy(VID).agg(
             F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("new_label")
         )
-        new_labels = (
-            labels.join(picked, VID, "left")
-            .select(VID, F.coalesce(F.col("new_label"), F.col("label")).alias("label"))
-            .repartition(n_part, VID)
-            .localCheckpoint(eager=True)
+        new_labels = truncate_state(
+            labels.join(picked, VID, "left").select(
+                VID, F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+            ),
+            n_part,
+            VID,
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), VID)
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if checkpointer is not None:
             checkpointer.save(labels, it + 1, {"changed": changed})

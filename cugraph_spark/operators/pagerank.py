@@ -29,7 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, WGT, LinkGraph
+from ..graph import DST, SRC, VID, WGT, LinkGraph, truncate_state
 
 
 @dataclass
@@ -123,6 +123,11 @@ def pagerank(
     iterations = start_iter
     l1_history: list = []
 
+    # hash-partitioned vertex table, materialized once — the renumber map's
+    # own partitioning is by degree range, so joining it per-iteration would
+    # reshuffle V rows every superstep
+    verts = graph.vertices().repartition(n_part, VID).persist()
+
     # skip the per-iteration dangling fold entirely when no sinks exist
     has_dangling = vstate.filter(F.col("out_wsum") == 0.0).limit(1).count() > 0
 
@@ -152,7 +157,7 @@ def pagerank(
         if pers is None:
             const = (alpha * dangling + (1.0 - alpha)) / V
             new_ranks = (
-                graph.vertices()
+                verts
                 .join(gathered, VID, "left")
                 .fillna(0.0, ["gather"])
                 .select(
@@ -173,10 +178,10 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        # localCheckpoint truncates lineage every iteration — without it the
-        # logical plan nests once per superstep and analysis cost explodes
-        # (SURVEY §7 "iteration × lazy evaluation")
-        new_ranks = new_ranks.repartition(n_part, VID).localCheckpoint(eager=True)
+        # truncate lineage + reset stats every iteration — without this the
+        # logical plan (or its propagated size estimate) grows per superstep
+        # and planning cost explodes (SURVEY §7; see truncate_state)
+        new_ranks = truncate_state(new_ranks, n_part, VID)
 
         l1 = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), VID)
@@ -206,6 +211,7 @@ def pagerank(
     out = ranks.select(F.col(VID).alias("vertex"), F.col("rank").alias("pagerank"))
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
+    verts.unpersist()
     vstate.unpersist()
     if pers is not None:
         pers.unpersist()

@@ -1,0 +1,198 @@
+"""Traversal — BFS and SSSP as frontier-join loops.
+
+Reference parity:
+- BFS: ``python/cugraph/cugraph/traversal/bfs.py:119-255`` — returns
+  ``DF[vertex, distance, predecessor]``; C++ is direction-optimizing
+  (``bfs_impl.cuh:96-125``) which is a physical optimization we skip
+  (SURVEY §4 "skip — optimization, not semantics").
+- SSSP: ``python/cugraph/cugraph/traversal/sssp.py:128-263`` — returns
+  ``DF[vertex, distance, predecessor]``; C++ uses near/far delta buckets
+  (``sssp_impl.cuh:139-180``); we use a Bellman-Ford-style relax loop —
+  same fixpoint, simpler plan, and each round is one shuffle join + one
+  groupBy-min, which is what survives at cluster scale.
+
+Scale notes: the frontier is a small DataFrame (usually ≪ V rows) that
+broadcasts against the persisted, src-partitioned edge table — the big side
+never moves. Distances state is V rows, localCheckpoint-ed per round to cut
+lineage. Predecessor tie-break is ``min(predecessor)`` so results are
+deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, VID, WGT, LinkGraph, truncate_state
+
+
+def _internal_source(graph: LinkGraph, source) -> int:
+    """Map an external source vertex to its internal id."""
+    if graph.renumber_map is None:
+        return int(source)
+    row = graph.renumber_map.filter(F.col("ext_id") == source).select(VID).collect()
+    if not row:
+        raise ValueError(f"bfs/sssp: source vertex {source!r} not in graph")
+    return int(row[0][0])
+
+
+def bfs(
+    graph: LinkGraph,
+    start,
+    depth_limit: int | None = None,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """Breadth-first search → DF[vertex, distance, predecessor].
+
+    Unreached vertices are omitted (callers can left-join against
+    ``graph.vertices()`` and fill with the reference's sentinel if needed).
+    Predecessor of the start vertex is -1, matching the reference convention.
+    """
+    n_part = graph.num_partitions
+    s = _internal_source(graph, start)
+    edges = graph.edges.select(SRC, DST)
+
+    # state: [id, distance, pred]; frontier: vertices discovered last round
+    state = truncate_state(
+        graph.spark.createDataFrame(
+            [(s, 0, -1)], f"{VID} LONG, distance INT, pred LONG"
+        ),
+        n_part,
+        VID,
+    )
+    frontier = state.select(VID)
+
+    depth = 0
+    limit = depth_limit if depth_limit is not None else 2**31 - 1
+    while depth < limit:
+        # expand: neighbors of the frontier not yet visited; pred = min(src)
+        cand = (
+            edges.join(frontier.withColumnRenamed(VID, SRC), SRC)
+            .groupBy(F.col(DST).alias(VID))
+            .agg(F.min(SRC).alias("pred"))
+        )
+        new = (
+            cand.join(state.select(VID, F.lit(True).alias("_seen")), VID, "left")
+            .filter(F.col("_seen").isNull())
+            .select(VID, F.lit(depth + 1).alias("distance"), "pred")
+        )
+        new = truncate_state(new, n_part, VID)
+        n_new = new.count()
+        if n_new == 0:
+            new.unpersist()
+            break
+        old_state = state
+        state = truncate_state(
+            state.union(new.select(VID, "distance", "pred")), n_part, VID
+        )
+        old_state.unpersist()
+        frontier = new.select(VID)
+        depth += 1
+
+    out = state.select(
+        F.col(VID).alias("vertex"), "distance", F.col("pred").alias("predecessor")
+    )
+    if unrenumber:
+        out = graph.unrenumber(out, "vertex")
+        if graph.renumber_map is not None:
+            # predecessor is also a vertex id; -1 stays -1
+            m = graph.renumber_map.select(
+                F.col(VID).alias("predecessor"), F.col("ext_id").alias("_p")
+            )
+            out = (
+                out.join(F.broadcast(m), "predecessor", "left")
+                .select(
+                    "vertex",
+                    "distance",
+                    F.coalesce(F.col("_p"), F.lit(-1)).alias("predecessor"),
+                )
+            )
+    return out
+
+
+def sssp(
+    graph: LinkGraph,
+    source,
+    max_iter: int = 500,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """Single-source shortest paths (non-negative weights) →
+    DF[vertex, distance, predecessor]. Bellman-Ford frontier relaxation:
+    only vertices whose distance improved last round re-relax their
+    out-edges, so each round is frontier ⋈ edges → groupBy(dst).min."""
+    n_part = graph.num_partitions
+    s = _internal_source(graph, source)
+    edges = graph.edges.select(SRC, DST, WGT)
+
+    dist = truncate_state(
+        graph.spark.createDataFrame(
+            [(s, 0.0, -1)], f"{VID} LONG, distance DOUBLE, pred LONG"
+        ),
+        n_part,
+        VID,
+    )
+    frontier = dist
+
+    for _ in range(max_iter):
+        relax = (
+            edges.join(
+                frontier.select(F.col(VID).alias(SRC), F.col("distance").alias("_d")),
+                SRC,
+            )
+            .select(
+                F.col(DST).alias(VID),
+                (F.col("_d") + F.col(WGT)).alias("nd"),
+                F.col(SRC).alias("npred"),
+            )
+            # deterministic argmin: smallest distance, then smallest pred
+            .groupBy(VID)
+            .agg(
+                F.min(F.struct(F.col("nd"), F.col("npred"))).alias("best"),
+            )
+            .select(VID, F.col("best.nd").alias("nd"), F.col("best.npred").alias("npred"))
+        )
+        merged = (
+            dist.join(relax, VID, "full")
+            .select(
+                F.col(VID),
+                F.col("distance"),
+                F.col("pred"),
+                F.col("nd"),
+                F.col("npred"),
+            )
+        )
+        improved = merged.filter(
+            F.col("distance").isNull() | (F.col("nd") < F.col("distance"))
+        ).select(VID, F.col("nd").alias("distance"), F.col("npred").alias("pred"))
+        improved = truncate_state(improved, n_part, VID)
+        if improved.count() == 0:
+            improved.unpersist()
+            break
+        kept = (
+            dist.join(improved.select(VID, F.lit(True).alias("_i")), VID, "left")
+            .filter(F.col("_i").isNull())
+            .select(VID, "distance", "pred")
+        )
+        old_dist = dist
+        dist = truncate_state(kept.union(improved), n_part, VID)
+        old_dist.unpersist()
+        frontier = improved
+
+    out = dist.select(
+        F.col(VID).alias("vertex"), "distance", F.col("pred").alias("predecessor")
+    )
+    if unrenumber:
+        out = graph.unrenumber(out, "vertex")
+        if graph.renumber_map is not None:
+            m = graph.renumber_map.select(
+                F.col(VID).alias("predecessor"), F.col("ext_id").alias("_p")
+            )
+            out = (
+                out.join(F.broadcast(m), "predecessor", "left")
+                .select(
+                    "vertex",
+                    "distance",
+                    F.coalesce(F.col("_p"), F.lit(-1)).alias("predecessor"),
+                )
+            )
+    return out

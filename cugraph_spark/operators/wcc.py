@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, LinkGraph
+from ..graph import DST, SRC, VID, LinkGraph, truncate_state
 
 
 def weakly_connected_components(
@@ -53,14 +53,14 @@ def weakly_connected_components(
         owned_edges = False
 
     labels = graph.vertices().withColumn("label", F.col(VID))
-    labels = labels.repartition(n_part, VID).localCheckpoint(eager=True)
+    labels = truncate_state(labels, n_part, VID)
 
     start_iter = 0
     if checkpointer is not None:
         resumed = checkpointer.resume(spark)
         if resumed is not None:
             start_iter, labels = resumed
-            labels = labels.repartition(n_part, VID).localCheckpoint(eager=True)
+            labels = truncate_state(labels, n_part, VID)
 
     for it in range(start_iter, max_iter):
         nbr_min = (
@@ -85,13 +85,14 @@ def weakly_connected_components(
                 new_labels.join(lab_of_lab, "label", "left")
                 .select(VID, F.coalesce(F.col("label2"), F.col("label")).alias("label"))
             )
-        new_labels = new_labels.repartition(n_part, VID).localCheckpoint(eager=True)
+        new_labels = truncate_state(new_labels, n_part, VID)
 
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), VID)
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if checkpointer is not None:
             checkpointer.save(labels, it + 1, {"changed": changed})

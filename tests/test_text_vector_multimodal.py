@@ -1,0 +1,158 @@
+"""Tests for the training-data pipeline: text dedup/quality/minhash,
+vector similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cugraph_spark import multimodal as mm
+from cugraph_spark import text as tx
+from cugraph_spark import vector as vec
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en", "s", 22),
+        (1, "the cat sat on the mat", "en", "s", 22),  # exact dup of 0
+        (2, "the cat sat on the mat today", "en", "s", 28),  # near dup (suffix)
+        (3, "der hund und die katze und das haus", "de", "s", 35),
+        (4, "le chat et la souris et le fromage", "fr", "s", 34),
+        (5, "completely different text about spark query engines", "en", "s", 51),
+        (6, "a b", "en", "s", 3),  # too short for 3-shingles
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.dup_count for r in tx.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, min id survives
+    assert 1 not in out
+    assert out[2] == 1
+
+
+def test_doc_stats(docs):
+    out = {r.doc_id: r for r in tx.doc_stats(docs).collect()}
+    assert out[0].n_tokens == 6
+    assert out[0].n_chars == 22
+    assert out[0].stopword_ratio == round(2 / 6, 6)  # 'the' twice
+    assert out[6].n_tokens == 2
+    assert all(0 <= r.quality <= 1 for r in out.values())
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.pred_lang for r in tx.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "fr"
+    assert out[5] == "unk"  # no marker stopwords at all
+    assert out[6] == "en"  # 'a' is an en marker
+
+
+def test_fingerprint_order_sensitive(spark):
+    rows = [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r.fp for r in tx.fingerprint(df).collect()}
+    assert out[0] == out[2]
+    assert out[0] != out[1]
+
+
+def test_shingles_and_jaccard(docs):
+    sh = tx.shingles(docs, n=3)
+    counts = {r.doc_id: r.cnt for r in sh.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert counts[0] == 4  # 6 tokens → 4 distinct 3-grams
+    assert 6 not in counts  # 2 tokens → no 3-gram
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard for r in tx.ngram_jaccard(docs, n=3).collect()
+    }
+    assert jac[(0, 1)] == 1.0
+    assert 0.0 < jac.get((0, 2), 0.0) < 1.0
+
+
+def test_minhash_dedup_finds_exact_and_near(docs):
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in tx.minhash_dedup(docs, threshold=0.0).collect()}
+    assert (0, 1) in out and out[(0, 1)] == 1.0
+    # near-dup pair (0,2) shares most shingles → should be a candidate
+    assert (0, 2) in out or (1, 2) in out
+
+
+def test_simhash_close_for_near_dups(docs):
+    out = {r.doc_id: r.simhash for r in tx.simhash(docs).collect()}
+    assert out[0] == out[1]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_token_rollup(docs):
+    out = {r.lang: r for r in tx.token_rollup(docs).collect()}
+    assert out["en"].n_docs == 5
+    assert out["de"].total_tokens == 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 16))
+    base[1] = base[0] + 0.01 * rng.normal(size=16)  # 1 is near 0
+    rows = [(i, [float(x) for x in base[i]], int(i % 3)) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+
+
+def test_cosine_topk_matches_numpy(emb):
+    out = vec.cosine_topk(emb, k=3, num_queries=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cosine))
+    pdf = emb.orderBy("vec_id").toPandas()
+    M = np.array([np.array(v, dtype=np.float64) for v in pdf["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    for q in range(5):
+        s = np.round(sims[q], 4)
+        order = sorted(
+            (i for i in range(30) if i != q), key=lambda i: (-s[i], i)
+        )[:3]
+        got_ids = [n for _, n, _ in sorted(got[q])]
+        assert got_ids == order, q
+    # nearest neighbor of 0 must be 1 (constructed near-dup)
+    assert sorted(got[0])[0][1] == 1
+
+
+def test_lsh_topk_recall(emb):
+    out = vec.lsh_topk(emb, k=3, n_planes=8, n_bands=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    # the engineered near-dup pair lands in the same buckets
+    assert 1 in by_q.get(0, []) or 0 in by_q.get(1, [])
+
+
+def test_multimodal_image_features(spark):
+    assets = mm.synthetic_assets(spark, 8)
+    out = mm.image_features(assets).collect()
+    assert len(out) == 8
+    assert all(len(r.feature) == mm.IMAGE_FEATURE_DIM for r in out)
+    # deterministic: same payload → same features
+    again = mm.image_features(mm.synthetic_assets(spark, 8)).collect()
+    assert {r.asset_id: r.feature for r in out} == {
+        r.asset_id: r.feature for r in again
+    }
+
+
+def test_multimodal_resize_and_frames(spark):
+    assets = mm.synthetic_assets(spark, 4)
+    small = mm.resize_images(assets, target=(4, 4)).collect()
+    assert all(len(r.pixels) == 4 * 4 * 3 for r in small)
+    frames = mm.sample_video_frames(assets, every_nth=5).collect()
+    assert all(r.frame_idx % 5 == 0 for r in frames)
+
+
+def test_multimodal_error_stub(spark):
+    assets = mm.synthetic_assets(spark, 2)
+    with pytest.raises(Exception):
+        mm.image_features(assets, decode_stub="error").collect()
