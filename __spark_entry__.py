@@ -46,6 +46,7 @@ from cugraph_spark.operators import (  # noqa: E402
     triangle_count,
     weakly_connected_components,
 )
+from cugraph_spark.operators import k_truss, louvain, strongly_connected_components  # noqa: E402
 from cugraph_spark import text as tx  # noqa: E402
 from cugraph_spark import vector as vec  # noqa: E402
 
@@ -240,6 +241,26 @@ def _q_ego_graph(spark, sf_dir):
     )
 
 
+def _q_scc(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    return strongly_connected_components(g).select(
+        F.col("vertex").cast("long"), F.col("labels").cast("long")
+    )
+
+
+def _q_ktruss(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    return k_truss(g, 4).select(F.col("src").cast("long"), F.col("dst").cast("long"))
+
+
+def _q_louvain(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    parts, _q = louvain(g, max_iter=10, max_levels=3)
+    return parts.select(
+        F.col("vertex").cast("long"), F.col("partition").cast("long")
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return tx.exact_dedup(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"), F.col("dup_count").cast("long")
@@ -320,6 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_number": _q_core_number,
         "induced_subgraph": _q_induced_subgraph,
         "ego_graph": _q_ego_graph,
+        "scc": _q_scc,
+        "ktruss": _q_ktruss,
+        "louvain": _q_louvain,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
@@ -338,7 +362,12 @@ _EDGES = (
     f"CAST(l_partkey % {K} AS BIGINT) AS dst FROM lineitem "
     f"WHERE (l_orderkey % {K}) != (l_partkey % {K})"
 )
-_VERTS = "SELECT src AS v FROM edges UNION SELECT dst AS v FROM edges"
+# explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE block DuckDB
+# does not deduplicate a plain UNION in non-recursive CTEs
+_VERTS = (
+    "SELECT DISTINCT v FROM "
+    "(SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)"
+)
 _SYM = "SELECT src, dst FROM edges UNION SELECT dst, src FROM edges"
 
 
@@ -608,6 +637,21 @@ FROM edges e JOIN keep a ON e.src = a.v JOIN keep b ON e.dst = b.v
 """
 
 
+def _sql_scc() -> str:
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES}), verts AS ({_VERTS}),
+reach(v, u) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+),
+mutual AS (SELECT r1.v, r1.u FROM reach r1 JOIN reach r2 ON r1.v = r2.u AND r1.u = r2.v)
+SELECT CAST(verts.v AS BIGINT) AS vertex,
+       CAST(LEAST(verts.v, COALESCE(p.mn, verts.v)) AS BIGINT) AS labels
+FROM verts LEFT JOIN (SELECT v, MIN(u) mn FROM mutual GROUP BY v) p ON p.v = verts.v
+"""
+
+
 _TOKS = (
     "toks AS (SELECT doc_id, unnest(lst) AS token, generate_subscripts(lst, 1) - 1 AS pos "
     "FROM (SELECT doc_id, string_split(text, ' ') lst FROM documents)), "
@@ -801,6 +845,9 @@ def oracle_sql() -> dict[str, str]:
         # core_number: no SQL oracle (nested peel loops) → rows-only check
         "induced_subgraph": _sql_induced_subgraph(),
         "ego_graph": _sql_ego_graph(),
+        "scc": _sql_scc(),
+        # ktruss: no SQL oracle (fixpoint peel loop) → rows-only check
+        # louvain: no SQL oracle (multi-level optimization) → rows-only check
         "dedup_exact": _sql_dedup_exact(),
         "doc_stats": _sql_doc_stats(),
         "lang_id": _sql_lang_id(),

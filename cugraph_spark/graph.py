@@ -281,6 +281,63 @@ class LinkGraph:
             self.vertices().join(ws, VID, "left").fillna(0.0, ["out_wsum"])
         )
 
+    # ------------------------------------------------------- point lookups
+    # (reference ``simpleGraph.py:1226-1313``)
+    def has_node(self, n) -> bool:
+        if self.renumber_map is not None:
+            return self.renumber_map.filter(F.col(EXT) == n).limit(1).count() > 0
+        return (
+            self.edges.filter((F.col(SRC) == n) | (F.col(DST) == n)).limit(1).count()
+            > 0
+        )
+
+    def has_edge(self, u, v) -> bool:
+        e = self.view_edge_list()
+        return e.filter((F.col(SRC) == u) & (F.col(DST) == v)).limit(1).count() > 0
+
+    def neighbors(self, n) -> DataFrame:
+        """DF[vertex] — out-neighbors of external vertex n."""
+        e = self.view_edge_list()
+        return e.filter(F.col(SRC) == n).select(F.col(DST).alias("vertex"))
+
+    def view_edge_list(self) -> DataFrame:
+        """Edges with external ids (reference ``simpleGraph.py:384-521``)."""
+        e = self.edges
+        if self.renumber_map is not None:
+            e = self.unrenumber(e, SRC)
+            e = self.unrenumber(e, DST)
+        return e
+
+    # ------------------------------------------------------- conversions
+    def to_undirected(self) -> "LinkGraph":
+        """Re-build with symmetrization (``graph_classes.py:690-747``)."""
+        e = self.view_edge_list()
+        return LinkGraph.from_edges(
+            e, weight=WGT if self.properties.weighted else None, directed=False
+        )
+
+    def to_directed(self) -> "LinkGraph":
+        e = self.view_edge_list()
+        return LinkGraph.from_edges(
+            e, weight=WGT if self.properties.weighted else None, directed=True
+        )
+
+    def to_pandas_edgelist(self):
+        """Driver-side pandas frame of the (external-id) edge list —
+        reference ``convert_matrix.to_pandas_edgelist``. Small graphs only."""
+        return self.view_edge_list().toPandas()
+
+    @classmethod
+    def from_pandas_edgelist(
+        cls, spark: SparkSession, pdf, src: str = SRC, dst: str = DST,
+        weight: str | None = None, directed: bool = True, renumber: bool = True,
+    ) -> "LinkGraph":
+        """Reference ``graph_classes.py:361-443``."""
+        return cls.from_edges(
+            spark.createDataFrame(pdf), src=src, dst=dst, weight=weight,
+            directed=directed, renumber=renumber,
+        )
+
     # ------------------------------------------------------------ un/renumber
     def unrenumber(self, df: DataFrame, col: str = "vertex") -> DataFrame:
         """Map an internal-id column back to external ids

@@ -5,7 +5,11 @@ from .centrality import (
     katz_centrality,
 )
 from .cores import core_number, k_core
+from .ktruss import k_truss
+from .louvain import louvain
 from .lpa import label_propagation
+from .sampling import node2vec, random_walks
+from .scc import strongly_connected_components
 from .pagerank import PageRankResult, pagerank
 from .similarity import jaccard, overlap, sorensen
 from .structure import (
@@ -42,4 +46,9 @@ __all__ = [
     "ego_graph",
     "select_random_vertices",
     "uniform_neighbor_sample",
+    "k_truss",
+    "louvain",
+    "random_walks",
+    "node2vec",
+    "strongly_connected_components",
 ]

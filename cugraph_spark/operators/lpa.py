@@ -22,7 +22,7 @@ then a least-change merge; localCheckpoint per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, VID, LinkGraph, truncate_state
@@ -73,18 +73,26 @@ def label_propagation(
         picked = counts.groupBy(VID).agg(
             F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("new_label")
         )
+        obs = Observation(f"lpa_iter_{it}")
         new_labels = truncate_state(
-            labels.join(picked, VID, "left").select(
-                VID, F.coalesce(F.col("new_label"), F.col("label")).alias("label")
-            ),
+            labels.select(VID, F.col("label").alias("_old"))
+            .join(picked, VID, "left")
+            .select(
+                VID,
+                F.coalesce(F.col("new_label"), F.col("_old")).alias("label"),
+                F.col("_old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .drop("_old"),
             n_part,
             VID,
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), VID)
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels.unpersist()
         labels = new_labels
         if checkpointer is not None:

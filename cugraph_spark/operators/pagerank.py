@@ -13,20 +13,28 @@ Semantics follow the reference exactly
 - converge when L1 ``Σ|r - r_old| < tol`` (``:320-333``).
 Python API parity: ``python/cugraph/cugraph/link_analysis/pagerank.py:83-308``.
 
-Spark plan per superstep (SURVEY §4): contributions are pre-divided once so
-the gather is a plain associative SUM; the big edge table is persisted
-hash-partitioned by ``src`` at graph build and never re-shuffled — only the
-V-row rank state moves (one shuffle for the join-by-src, one for the
-groupBy-dst). Dangling mass and the L1 delta are scalar folds, never edge
-traffic. Each iteration persists the new rank state (and optionally
-checkpoints it with a lineage manifest) so plans do not grow unboundedly.
+Spark plan per superstep — ONE job, one real shuffle:
+- state is ``[id, out_wsum(, p_norm), rank]`` hash-partitioned by id and
+  persisted+checkpointed; the static columns ride along so no per-iteration
+  join against a separate vertex table is needed.
+- contributions are pre-divided once (rank/out_wsum) so the gather is a
+  plain associative SUM; the big edge table is persisted hash-partitioned
+  by ``src`` at graph build and never re-shuffled — contribs arrive already
+  hash-partitioned on the join key, so the only exchange is the
+  groupBy(dst) of the E-row contribution stream.
+- the L1 delta and the NEXT iteration's dangling mass are computed via
+  ``DataFrame.observe`` on the same plan that materializes the new state —
+  scalar folds cost zero extra jobs (the dangling sum uses the new ranks,
+  which is exactly what iteration i+1 needs per ``pagerank_impl.cuh:238``).
+- per-iteration ``truncate_state`` (localCheckpoint + persist) keeps the
+  plan flat and the size estimates real (see ``graph.truncate_state``).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, VID, WGT, LinkGraph, truncate_state
@@ -65,7 +73,7 @@ def pagerank(
     if V == 0:
         raise ValueError("pagerank: graph has no vertices")
 
-    # ---- static vertex state: [id, out_wsum], partitioned by id -----------
+    # ---- static vertex base: [id, out_wsum(, p_norm)], hash(id) -----------
     if precomputed_vertex_out_weight is not None:
         ows = _renumber_values(graph, precomputed_vertex_out_weight, "out_wsum")
         ows = (
@@ -75,77 +83,66 @@ def pagerank(
         )
     else:
         ows = graph.out_weight_sums()
-    vstate = ows.repartition(n_part, VID).persist()
-    vstate.count()
 
-    # ---- personalization ---------------------------------------------------
-    pers = None
-    if personalization is not None:
+    pers = personalization is not None
+    if pers:
         p = _renumber_values(graph, personalization, "p")
         psum = p.agg(F.sum("p")).collect()[0][0]
-        pers = (
-            graph.vertices()
-            .join(p, VID, "left")
+        ows = (
+            ows.join(p, VID, "left")
             .fillna(0.0, ["p"])
             .withColumn("p_norm", F.col("p") / F.lit(float(psum)))
-            .select(VID, "p_norm")
-            .repartition(n_part, VID)
-            .persist()
+            .drop("p")
         )
-        pers.count()
+    static_cols = ["out_wsum"] + (["p_norm"] if pers else [])
 
-    # ---- initial ranks ------------------------------------------------------
+    vbase = ows.repartition(n_part, VID).persist()
+    # one upfront scalar: whether any dangling vertices exist at all
+    has_dangling = vbase.filter(F.col("out_wsum") == 0.0).limit(1).count() > 0
+
+    # ---- initial state [id, *static, rank] --------------------------------
     if nstart is not None:
         r0 = _renumber_values(graph, nstart, "rank")
         rsum = r0.agg(F.sum("rank")).collect()[0][0]
-        ranks = (
-            graph.vertices()
-            .join(r0, VID, "left")
+        state = (
+            vbase.join(r0, VID, "left")
             .fillna(0.0, ["rank"])
             .withColumn("rank", F.col("rank") / F.lit(float(rsum)))
-            .select(VID, "rank")
         )
     else:
-        ranks = graph.vertices().withColumn("rank", F.lit(1.0 / V))
-    ranks = ranks.repartition(n_part, VID).persist()
-    ranks.count()
+        state = vbase.withColumn("rank", F.lit(1.0 / V))
 
     start_iter = 0
     if checkpointer is not None:
         resumed = checkpointer.resume(spark)
         if resumed is not None:
-            start_iter, ranks = resumed
-            ranks = ranks.repartition(n_part, VID).persist()
-            ranks.count()
+            start_iter, rdf = resumed
+            state = vbase.join(
+                rdf.select(VID, "rank").repartition(n_part, VID), VID
+            )
+    state = truncate_state(state, n_part, VID)
+
+    # dangling mass of the CURRENT ranks (scalar fold; skipped when no sinks
+    # exist — pagerank_impl.cuh:238-247); inside the loop this is maintained
+    # for free by the observe() on the previous materialization
+    if has_dangling:
+        dangling = (
+            state.filter(F.col("out_wsum") == 0.0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+    else:
+        dangling = 0.0
 
     edges = graph.edges  # [src, dst, weight] partitioned by src
     converged = False
     iterations = start_iter
     l1_history: list = []
 
-    # hash-partitioned vertex table, materialized once — the renumber map's
-    # own partitioning is by degree range, so joining it per-iteration would
-    # reshuffle V rows every superstep
-    verts = graph.vertices().repartition(n_part, VID).persist()
-
-    # skip the per-iteration dangling fold entirely when no sinks exist
-    has_dangling = vstate.filter(F.col("out_wsum") == 0.0).limit(1).count() > 0
-
     for it in range(start_iter, max_iter):
-        # dangling mass: scalar fold, not edge traffic (pagerank_impl:238-247)
-        joined = ranks.join(vstate, VID)
-        if has_dangling:
-            dangling = (
-                joined.filter(F.col("out_wsum") == 0.0)
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
-            )
-        else:
-            dangling = 0.0
-
-        # pre-divide (pagerank_impl:249-261): contribution = rank / out_wsum
-        contribs = joined.filter(F.col("out_wsum") > 0.0).select(
+        # pre-divide (pagerank_impl:249-261): contribution = rank / out_wsum;
+        # already hash-partitioned on the join key — no exchange on either
+        # side of the edge join, the groupBy(dst) is the only shuffle
+        contribs = state.filter(F.col("out_wsum") > 0.0).select(
             F.col(VID).alias(SRC), (F.col("rank") / F.col("out_wsum")).alias("contrib")
         )
         gathered = (
@@ -154,48 +151,44 @@ def pagerank(
             .agg(F.sum(F.col("contrib") * F.col(WGT)).alias("gather"))
         )
 
-        if pers is None:
+        if not pers:
             const = (alpha * dangling + (1.0 - alpha)) / V
-            new_ranks = (
-                verts
-                .join(gathered, VID, "left")
-                .fillna(0.0, ["gather"])
-                .select(
-                    VID,
-                    (F.lit(alpha) * F.col("gather") + F.lit(const)).alias("rank"),
-                )
-            )
+            new_rank = F.lit(alpha) * F.col("gather") + F.lit(const)
         else:
             mass = alpha * dangling + (1.0 - alpha)
-            new_ranks = (
-                pers.join(gathered, VID, "left")
-                .fillna(0.0, ["gather"])
-                .select(
-                    VID,
-                    (
-                        F.lit(alpha) * F.col("gather")
-                        + F.lit(mass) * F.col("p_norm")
-                    ).alias("rank"),
-                )
-            )
-        # truncate lineage + reset stats every iteration — without this the
-        # logical plan (or its propagated size estimate) grows per superstep
-        # and planning cost explodes (SURVEY §7; see truncate_state)
-        new_ranks = truncate_state(new_ranks, n_part, VID)
+            new_rank = F.lit(alpha) * F.col("gather") + F.lit(mass) * F.col("p_norm")
 
-        l1 = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), VID)
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
-            or 0.0
+        obs = Observation(f"pagerank_iter_{it}")
+        new_state = (
+            state.select(VID, *static_cols, F.col("rank").alias("_old"))
+            .join(gathered, VID, "left")
+            .fillna(0.0, ["gather"])
+            .select(VID, *static_cols, new_rank.alias("rank"), F.col("_old"))
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("l1"),
+                F.sum(
+                    F.when(F.col("out_wsum") == 0.0, F.col("rank")).otherwise(0.0)
+                ).alias("dangling"),
+            )
+            .drop("_old")
         )
-        ranks.unpersist()
-        ranks = new_ranks
+        # partitioning is already hash(id) on both join inputs, so no
+        # repartition here — just checkpoint + cache (1 materialization job)
+        new_state = truncate_state(new_state)
+        metrics = obs.get
+        l1 = float(metrics["l1"] or 0.0)
+        dangling = float(metrics["dangling"] or 0.0) if has_dangling else 0.0
+
+        state.unpersist()
+        state = new_state
         iterations = it + 1
         l1_history.append(l1)
 
         if checkpointer is not None:
-            checkpointer.save(ranks, iterations, {"l1": l1, "dangling": dangling})
+            checkpointer.save(
+                state.select(VID, "rank"), iterations, {"l1": l1, "dangling": dangling}
+            )
 
         if tol > 0 and l1 < tol:
             converged = True
@@ -208,13 +201,10 @@ def pagerank(
             f"PageRank failed to converge in {max_iter} iterations (L1={l1_history[-1]})"
         )
 
-    out = ranks.select(F.col(VID).alias("vertex"), F.col("rank").alias("pagerank"))
+    out = state.select(F.col(VID).alias("vertex"), F.col("rank").alias("pagerank"))
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
-    verts.unpersist()
-    vstate.unpersist()
-    if pers is not None:
-        pers.unpersist()
+    vbase.unpersist()
     return PageRankResult(out, converged, iterations, l1_history)
 
 

@@ -1,0 +1,137 @@
+"""Sampling — uniform random walks and node2vec-style biased walks.
+
+Reference parity:
+- ``random_walks(G, start_vertices, max_depth)``:
+  ``python/cugraph/cugraph/sampling/random_walks.py:36-275`` — returns
+  per-walk vertex paths; ours is ``DF[walk_id, step, vertex]`` (tidy form
+  of the reference's flattened ``vertex_paths`` + ``path_sizes``).
+- ``node2vec(G, start_vertices, max_depth, p, q)``:
+  ``python/cugraph/cugraph/sampling/node2vec.py:23-141`` — 2nd-order
+  biased walks; bias weights 1/p (return), 1 (distance-1), 1/q
+  (distance-2) applied to the transition distribution.
+
+Plan per step: the walker frontier (one row per active walk) joins the
+persisted src-partitioned edge table; the next hop is chosen with a seeded
+``rand()`` ranking per walk — the SURVEY §2.1 mapping of
+``per_v_random_select_transform_outgoing_e``. Walks that hit a sink stop
+(matching the reference's variable path_sizes). node2vec additionally
+joins candidate hops against the previous vertex's edge set to classify
+return/common/far candidates before weighting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..graph import DST, SRC, VID, LinkGraph, truncate_state
+
+
+def _starts(graph: LinkGraph, start_vertices: DataFrame) -> DataFrame:
+    """[walk_id, vertex(internal)] from a 1-column external-id frame."""
+    col = start_vertices.columns[0]
+    s = start_vertices.select(F.col(col).alias("_ext"))
+    if graph.renumber_map is not None:
+        m = graph.renumber_map.select(F.col("ext_id").alias("_ext"), VID)
+        s = s.join(F.broadcast(m), "_ext").select(F.col(VID).alias("v"))
+    else:
+        s = s.select(F.col("_ext").cast("long").alias("v"))
+    w = Window.orderBy("v")
+    return s.withColumn("walk_id", F.row_number().over(w) - 1)
+
+
+def random_walks(
+    graph: LinkGraph,
+    start_vertices: DataFrame,
+    max_depth: int,
+    seed: int = 42,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """DF[walk_id, step, vertex] — uniform random walks of ≤ max_depth
+    vertices per walk (stops early at sinks)."""
+    starts = _starts(graph, start_vertices)
+    frontier = starts.select("walk_id", F.col("v").alias("cur"))
+    paths = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]
+
+    edges = graph.edges.select(SRC, DST)
+    for step in range(1, max_depth):
+        cand = edges.join(
+            frontier.withColumnRenamed("cur", SRC), SRC
+        ).select("walk_id", F.col(DST).alias("nxt"))
+        w = Window.partitionBy("walk_id").orderBy(F.rand(seed + step), "nxt")
+        frontier = truncate_state(
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("walk_id", F.col("nxt").alias("cur"))
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        paths.append(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("vertex"))
+        )
+
+    out = paths[0]
+    for p in paths[1:]:
+        out = out.union(p)
+    if unrenumber:
+        out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def node2vec(
+    graph: LinkGraph,
+    start_vertices: DataFrame,
+    max_depth: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """DF[walk_id, step, vertex] — node2vec biased walks: candidate next
+    hops are weighted 1/p if returning to the previous vertex, 1 if the
+    candidate neighbors the previous vertex, 1/q otherwise; selection is a
+    weighted draw via the exponential-race trick
+    (``-log(u)/w`` minimization, deterministic under the seed)."""
+    starts = _starts(graph, start_vertices)
+    edges = graph.edges.select(SRC, DST)
+
+    # step 1 is uniform (no previous vertex yet)
+    frontier = starts.select("walk_id", F.col("v").alias("cur"), F.lit(None).cast("long").alias("prev"))
+    paths = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]
+
+    # adjacency pairs for the "does candidate neighbor prev" test
+    adj = edges.select(F.col(SRC).alias("prev"), F.col(DST).alias("nxt")).withColumn(
+        "_is_nbr", F.lit(True)
+    )
+
+    for step in range(1, max_depth):
+        cand = edges.join(frontier.withColumnRenamed("cur", SRC), SRC).select(
+            "walk_id", F.col(SRC).alias("cur"), F.col(DST).alias("nxt"), "prev"
+        )
+        cand = cand.join(adj, ["prev", "nxt"], "left")
+        weight = (
+            F.when(F.col("nxt") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("_is_nbr"), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        # weighted reservoir: pick argmin of -log(u)/w per walk
+        key = -F.log(F.rand(seed + step)) / weight
+        w = Window.partitionBy("walk_id").orderBy(key.asc(), F.col("nxt"))
+        frontier = truncate_state(
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("walk_id", F.col("nxt").alias("cur"), F.col("cur").alias("prev"))
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        paths.append(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("vertex"))
+        )
+
+    out = paths[0]
+    for pth in paths[1:]:
+        out = out.union(pth)
+    if unrenumber:
+        out = graph.unrenumber(out, "vertex")
+    return out

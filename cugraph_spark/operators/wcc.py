@@ -23,7 +23,7 @@ where chain-shaped link paths are common.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, VID, LinkGraph, truncate_state
@@ -69,10 +69,12 @@ def weakly_connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         new_labels = (
-            labels.join(nbr_min, VID, "left")
+            labels.select(VID, F.col("label").alias("_old"))
+            .join(nbr_min, VID, "left")
             .select(
                 VID,
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                F.least(F.col("_old"), F.coalesce(F.col("nbr_label"), F.col("_old"))).alias("label"),
+                F.col("_old"),
             )
         )
         if shortcutting:
@@ -83,15 +85,21 @@ def weakly_connected_components(
             )
             new_labels = (
                 new_labels.join(lab_of_lab, "label", "left")
-                .select(VID, F.coalesce(F.col("label2"), F.col("label")).alias("label"))
+                .select(
+                    VID,
+                    F.coalesce(F.col("label2"), F.col("label")).alias("label"),
+                    F.col("_old"),
+                )
             )
+        # changed-count rides the materialization job via observe — no
+        # separate comparison job per round
+        obs = Observation(f"wcc_iter_{it}")
+        new_labels = new_labels.observe(
+            obs,
+            F.sum(F.when(F.col("label") != F.col("_old"), 1).otherwise(0)).alias("changed"),
+        ).drop("_old")
         new_labels = truncate_state(new_labels, n_part, VID)
-
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), VID)
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels.unpersist()
         labels = new_labels
         if checkpointer is not None:

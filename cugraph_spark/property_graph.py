@@ -1,0 +1,245 @@
+"""PropertyGraph — typed vertex/edge property tables with selection and
+subgraph extraction, plus the hypergraph builder.
+
+Reference parity (``python/cugraph/cugraph/structure/property_graph.py``):
+- ``add_vertex_data(df, vertex_col_name, type_name)`` / ``add_edge_data``
+  accumulate typed property rows (``:594-1100``); the ``_TYPE_``
+  discriminator column distinguishes sub-frames.
+- ``get_vertex_data(vertex_ids, types, columns)`` / ``get_edge_data``
+  (``:1100-1400``).
+- ``select_vertices(expr)`` / ``select_edges(expr)`` evaluate a boolean
+  expression over property columns (``:1412-1540``) — ours take Spark SQL
+  expressions (the idiomatic analog of the reference's pandas-eval
+  strings).
+- ``extract_subgraph(selection, ...)`` → LinkGraph (``:1542-1740``).
+- ``annotate_dataframe`` (``:1741-1800``): join edge properties back onto
+  an edge-keyed result frame.
+- Hypergraph builder (``structure/hypergraph.py:42-288``): a generic
+  DataFrame → bipartite row-node/value-node graph via melt + union.
+
+Everything is pure DataFrame composition: property tables are unioned
+lazily by type, selections are Catalyst filters (predicate pushdown
+reaches the parquet scan for free), extraction is filter + join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import LinkGraph
+
+TYPE_COL = "_TYPE_"
+VERTEX_COL = "_VERTEX_"
+SRC_COL = "_SRC_"
+DST_COL = "_DST_"
+EDGE_ID_COL = "_EDGE_ID_"
+
+
+class PropertyGraph:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._vertex_frames: dict[str, DataFrame] = {}
+        self._edge_frames: dict[str, DataFrame] = {}
+        self._edge_id_counter = 0
+
+    # ------------------------------------------------------------- mutation
+    def add_vertex_data(
+        self, df: DataFrame, vertex_col_name: str, type_name: str = ""
+    ) -> None:
+        """Accumulate a typed vertex property frame
+        (reference ``property_graph.py:594-860``)."""
+        frame = df.withColumnRenamed(vertex_col_name, VERTEX_COL).withColumn(
+            TYPE_COL, F.lit(type_name)
+        )
+        if type_name in self._vertex_frames:
+            self._vertex_frames[type_name] = self._vertex_frames[
+                type_name
+            ].unionByName(frame, allowMissingColumns=True)
+        else:
+            self._vertex_frames[type_name] = frame
+
+    def add_edge_data(
+        self,
+        df: DataFrame,
+        vertex_col_names: tuple,
+        type_name: str = "",
+    ) -> None:
+        """Accumulate a typed edge property frame
+        (reference ``property_graph.py:860-1100``). Edge ids are assigned
+        per-frame from a monotonic base + row ordinal."""
+        s, d = vertex_col_names
+        frame = (
+            df.withColumnRenamed(s, SRC_COL)
+            .withColumnRenamed(d, DST_COL)
+            .withColumn(TYPE_COL, F.lit(type_name))
+        )
+        if type_name in self._edge_frames:
+            self._edge_frames[type_name] = self._edge_frames[type_name].unionByName(
+                frame, allowMissingColumns=True
+            )
+        else:
+            self._edge_frames[type_name] = frame
+
+    # -------------------------------------------------------------- access
+    @property
+    def vertex_types(self) -> set:
+        return set(self._vertex_frames)
+
+    @property
+    def edge_types(self) -> set:
+        return set(self._edge_frames)
+
+    def _union_all(self, frames: dict[str, DataFrame], types=None) -> DataFrame | None:
+        keys = sorted(frames) if types is None else [t for t in sorted(frames) if t in set(types)]
+        out = None
+        for k in keys:
+            out = frames[k] if out is None else out.unionByName(
+                frames[k], allowMissingColumns=True
+            )
+        return out
+
+    def get_vertex_data(
+        self, vertex_ids=None, types=None, columns=None
+    ) -> DataFrame | None:
+        df = self._union_all(self._vertex_frames, types)
+        if df is None:
+            return None
+        if vertex_ids is not None:
+            df = df.filter(F.col(VERTEX_COL).isin(list(vertex_ids)))
+        if columns is not None:
+            df = df.select(VERTEX_COL, TYPE_COL, *columns)
+        return df
+
+    def get_edge_data(self, types=None, columns=None) -> DataFrame | None:
+        df = self._union_all(self._edge_frames, types)
+        if df is None:
+            return None
+        if columns is not None:
+            df = df.select(SRC_COL, DST_COL, TYPE_COL, *columns)
+        return df
+
+    def get_num_vertices(self) -> int:
+        vd = self.get_vertex_data()
+        ed = self.get_edge_data()
+        parts = []
+        if vd is not None:
+            parts.append(vd.select(F.col(VERTEX_COL).alias("v")))
+        if ed is not None:
+            parts.append(ed.select(F.col(SRC_COL).alias("v")))
+            parts.append(ed.select(F.col(DST_COL).alias("v")))
+        if not parts:
+            return 0
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out.distinct().count()
+
+    def get_num_edges(self) -> int:
+        ed = self.get_edge_data()
+        return 0 if ed is None else ed.count()
+
+    # ----------------------------------------------------------- selection
+    def select_vertices(self, expr: str, from_previous_selection: DataFrame | None = None) -> DataFrame:
+        """Vertices whose property rows satisfy the Spark SQL boolean
+        ``expr`` (reference ``select_vertices``, ``:1412-1492``)."""
+        base = from_previous_selection or self.get_vertex_data()
+        if base is None:
+            raise ValueError("no vertex data")
+        return base.filter(F.expr(expr)).select(VERTEX_COL).distinct()
+
+    def select_edges(self, expr: str) -> DataFrame:
+        """Edge rows satisfying ``expr`` (reference ``:1494-1540``)."""
+        base = self.get_edge_data()
+        if base is None:
+            raise ValueError("no edge data")
+        return base.filter(F.expr(expr))
+
+    # ---------------------------------------------------------- extraction
+    def extract_subgraph(
+        self,
+        selection: DataFrame | None = None,
+        create_using: dict | None = None,
+        edge_weight_property: str | None = None,
+        allow_multi_edges: bool = False,
+    ) -> LinkGraph:
+        """Build a LinkGraph from (optionally selected) edge rows
+        (reference ``extract_subgraph``, ``:1542-1740``). ``selection`` is
+        an edge-row DataFrame from :meth:`select_edges`; None = all edges."""
+        edges = selection if selection is not None else self.get_edge_data()
+        if edges is None:
+            raise ValueError("no edge data")
+        cols = [F.col(SRC_COL).alias("src"), F.col(DST_COL).alias("dst")]
+        weight = None
+        if edge_weight_property is not None:
+            cols.append(F.col(edge_weight_property).cast("double").alias("weight"))
+            weight = "weight"
+        opts = dict(create_using or {})
+        return LinkGraph.from_edges(
+            edges.select(*cols),
+            weight=weight,
+            directed=opts.get("directed", True),
+            dedup=not allow_multi_edges,
+        )
+
+    def annotate_dataframe(self, df: DataFrame, edge_vertex_col_names=("src", "dst")) -> DataFrame:
+        """Join edge properties onto an edge-keyed frame
+        (reference ``annotate_dataframe``, ``:1741-1800``)."""
+        s, d = edge_vertex_col_names
+        ed = self.get_edge_data()
+        if ed is None:
+            return df
+        return df.join(
+            ed,
+            (df[s] == ed[SRC_COL]) & (df[d] == ed[DST_COL]),
+            "left",
+        ).drop(SRC_COL, DST_COL)
+
+    def fillna_vertices(self, value) -> None:
+        self._vertex_frames = {
+            k: v.fillna(value) for k, v in self._vertex_frames.items()
+        }
+
+    def fillna_edges(self, value) -> None:
+        self._edge_frames = {k: v.fillna(value) for k, v in self._edge_frames.items()}
+
+
+def hypergraph(
+    df: DataFrame,
+    columns: list | None = None,
+    categorical_metadata: bool = True,
+    drop_edge_attrs: bool = False,
+    row_id_col: str = "_row_id",
+) -> dict:
+    """Generic DataFrame → bipartite entity graph
+    (reference ``structure/hypergraph.py:42-288``): one node per row and
+    one node per distinct (column, value); an edge connects each row-node
+    to every value-node appearing in it. Pure melt (stack) + union.
+
+    Returns {"edges": DF[src, dst], "nodes": DF[node_id, kind]} with string
+    node ids ``row::<i>`` / ``<col>::<value>``.
+    """
+    cols = columns or [c for c in df.columns if c != row_id_col]
+    if row_id_col not in df.columns:
+        from pyspark.sql.window import Window
+
+        df = df.withColumn(
+            row_id_col,
+            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
+        )
+    melted = None
+    for c in cols:
+        part = df.select(
+            F.concat(F.lit("row::"), F.col(row_id_col).cast("string")).alias("src"),
+            F.concat(F.lit(f"{c}::"), F.col(c).cast("string")).alias("dst"),
+        ).filter(F.col(c).isNotNull())
+        melted = part if melted is None else melted.union(part)
+    nodes = (
+        melted.select(F.col("src").alias("node_id")).distinct().withColumn("kind", F.lit("row"))
+        .union(
+            melted.select(F.col("dst").alias("node_id")).distinct().withColumn(
+                "kind", F.lit("value")
+            )
+        )
+    )
+    return {"edges": melted, "nodes": nodes}

@@ -1,0 +1,162 @@
+"""Tests for k-truss, SCC, random walks / node2vec, PropertyGraph, and
+hypergraph builder."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import karate_edges
+from cugraph_spark.graph import LinkGraph
+from cugraph_spark.operators import (
+    k_truss,
+    node2vec,
+    random_walks,
+    strongly_connected_components,
+)
+from cugraph_spark.property_graph import PropertyGraph, hypergraph
+
+
+@pytest.fixture(scope="module")
+def karate_graph(spark):
+    rows = [(int(s), int(d)) for s, d in karate_edges()]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG")
+    g = LinkGraph.from_edges(df, directed=True, renumber=True)
+    yield g
+    g.unpersist()
+
+
+def test_k_truss(karate_graph):
+    got = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in k_truss(karate_graph, 4).collect()
+    }
+    want = {
+        (min(u, v), max(u, v))
+        for u, v in nx.k_truss(nx.karate_club_graph(), 4).edges()
+    }
+    assert got == want
+
+
+def test_scc_on_directed_cycle_graph(spark):
+    # two 3-cycles joined by a one-way bridge + a tail vertex
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # SCC A
+        (2, 3),                           # bridge A→B
+        (3, 4), (4, 5), (5, 3),          # SCC B
+        (5, 6),                           # tail (singleton)
+    ]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    g = LinkGraph.from_edges(df, directed=True, renumber=True)
+    got = {}
+    for r in strongly_connected_components(g).collect():
+        got.setdefault(r.labels, set()).add(r.vertex)
+    comps = sorted(sorted(c) for c in got.values())
+    assert comps == [[0, 1, 2], [3, 4, 5], [6]]
+    g.unpersist()
+
+
+def test_scc_matches_networkx_on_seeded_digraph(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 40, size=(160, 2)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "src LONG, dst LONG")
+    g = LinkGraph.from_edges(df, directed=True, renumber=True)
+    got = {}
+    for r in strongly_connected_components(g).collect():
+        got.setdefault(r.labels, frozenset()),
+        got[r.labels] = got.get(r.labels, frozenset()) | {r.vertex}
+    nxg = nx.DiGraph(sorted(edges))
+    want = {frozenset(c) for c in nx.strongly_connected_components(nxg)}
+    assert set(map(frozenset, got.values())) == want
+    g.unpersist()
+
+
+def test_random_walks(spark, karate_graph):
+    starts = spark.createDataFrame([(0,), (33,)], "v LONG")
+    out = random_walks(karate_graph, starts, max_depth=4).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+    assert len(walks) == 2
+    edges = {(r.src, r.dst) for r in karate_graph.view_edge_list().collect()}
+    for path in walks.values():
+        assert path[0] in (0, 33)
+        for s in range(1, len(path)):
+            assert (path[s - 1], path[s]) in edges
+
+
+def test_node2vec(spark, karate_graph):
+    starts = spark.createDataFrame([(0,), (5,)], "v LONG")
+    out = node2vec(karate_graph, starts, max_depth=4, p=0.5, q=2.0).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+    edges = {(r.src, r.dst) for r in karate_graph.view_edge_list().collect()}
+    for path in walks.values():
+        for s in range(1, len(path)):
+            assert (path[s - 1], path[s]) in edges
+
+
+def test_property_graph_roundtrip(spark):
+    pg = PropertyGraph(spark)
+    people = spark.createDataFrame(
+        [(0, "ann", 34), (1, "bob", 29), (2, "cas", 41)],
+        "pid LONG, name STRING, age INT",
+    )
+    follows = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 1.0), (2, 0, 2.5)],
+        "a LONG, b LONG, strength DOUBLE",
+    )
+    pg.add_vertex_data(people, "pid", type_name="person")
+    pg.add_edge_data(follows, ("a", "b"), type_name="follows")
+
+    assert pg.vertex_types == {"person"}
+    assert pg.get_num_vertices() == 3
+    assert pg.get_num_edges() == 3
+
+    old = pg.select_vertices("age > 30")
+    assert {r["_VERTEX_"] for r in old.collect()} == {0, 2}
+
+    strong = pg.select_edges("strength >= 2.0")
+    g = pg.extract_subgraph(selection=strong, edge_weight_property="strength")
+    pairs = {(r.src, r.dst) for r in g.view_edge_list().collect()}
+    assert pairs == {(0, 1), (2, 0)}
+    g.unpersist()
+
+
+def test_hypergraph_builder(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("a", "y")], "u STRING, w STRING"
+    )
+    hg = hypergraph(df)
+    edges = {(r.src, r.dst) for r in hg["edges"].collect()}
+    assert ("row::1", "u::b") in edges
+    assert ("row::1", "w::x") in edges
+    # every row node connects to one value node per column
+    assert len(edges) == 6
+    kinds = {r.kind for r in hg["nodes"].collect()}
+    assert kinds == {"row", "value"}
+
+
+def test_louvain_karate(spark, karate_graph):
+    from cugraph_spark.operators import louvain
+
+    parts, q = louvain(karate_graph)
+    got = {}
+    for r in parts.collect():
+        got.setdefault(r.partition, set()).add(r.vertex)
+    # all 34 vertices assigned, communities non-trivial
+    assert sum(len(c) for c in got.values()) == 34
+    assert 2 <= len(got) <= 8
+    # modularity agrees with networkx's computation of the same partition
+    # weight=None: our fixture graph is unweighted, while networkx's karate
+    # carries friendship-strength weights by default
+    nxq = nx.algorithms.community.modularity(
+        nx.karate_club_graph(), list(got.values()), weight=None
+    )
+    assert abs(q - nxq) < 1e-6
+    # quality: known optimum is ~0.42; local moving should land close
+    assert q > 0.38
