@@ -46,7 +46,13 @@ from cugraph_spark.operators import (  # noqa: E402
     triangle_count,
     weakly_connected_components,
 )
-from cugraph_spark.operators import k_truss, louvain, strongly_connected_components  # noqa: E402
+from cugraph_spark.operators import (  # noqa: E402
+    betweenness_centrality,
+    k_truss,
+    louvain,
+    minimum_spanning_tree,
+    strongly_connected_components,
+)
 from cugraph_spark import text as tx  # noqa: E402
 from cugraph_spark import vector as vec  # noqa: E402
 
@@ -261,6 +267,24 @@ def _q_louvain(spark, sf_dir):
     )
 
 
+def _q_mst_summary(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    mst = minimum_spanning_tree(g)
+    return mst.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("weight").cast("double").alias("total_weight"),
+    )
+
+
+def _q_betweenness(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    out = betweenness_centrality(g, k=list(range(16)), normalized=True)
+    return out.select(
+        F.col("vertex").cast("long"),
+        F.round("betweenness_centrality", 6).alias("betweenness_centrality"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return tx.exact_dedup(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"), F.col("dup_count").cast("long")
@@ -344,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "ktruss": _q_ktruss,
         "louvain": _q_louvain,
+        "mst_summary": _q_mst_summary,
+        "betweenness": _q_betweenness,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
@@ -652,6 +678,24 @@ FROM verts LEFT JOIN (SELECT v, MIN(u) mn FROM mutual GROUP BY v) p ON p.v = ver
 """
 
 
+def _sql_mst_summary() -> str:
+    """A spanning forest of an unweighted graph has V − #components edges
+    of weight 1.0 each — checkable from the WCC closure without running an
+    MST in SQL."""
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES}), verts AS ({_VERTS}),
+sym AS ({_SYM}),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.v, s.dst FROM reach r JOIN sym s ON s.src = r.u
+),
+comp AS (SELECT v, MIN(u) AS labels FROM reach GROUP BY v)
+SELECT CAST((SELECT COUNT(*) FROM verts) - (SELECT COUNT(DISTINCT labels) FROM comp) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM verts) - (SELECT COUNT(DISTINCT labels) FROM comp) AS DOUBLE) AS total_weight
+"""
+
+
 _TOKS = (
     "toks AS (SELECT doc_id, unnest(lst) AS token, generate_subscripts(lst, 1) - 1 AS pos "
     "FROM (SELECT doc_id, string_split(text, ' ') lst FROM documents)), "
@@ -846,8 +890,10 @@ def oracle_sql() -> dict[str, str]:
         "induced_subgraph": _sql_induced_subgraph(),
         "ego_graph": _sql_ego_graph(),
         "scc": _sql_scc(),
+        "mst_summary": _sql_mst_summary(),
         # ktruss: no SQL oracle (fixpoint peel loop) → rows-only check
         # louvain: no SQL oracle (multi-level optimization) → rows-only check
+        # betweenness: no SQL oracle (Brandes accumulation) → rows-only check
         "dedup_exact": _sql_dedup_exact(),
         "doc_stats": _sql_doc_stats(),
         "lang_id": _sql_lang_id(),

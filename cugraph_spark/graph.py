@@ -95,6 +95,13 @@ def assign_dense_ids(
     with_pid = ranged.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     numbered = with_pid.withColumn("_rn", F.row_number().over(w) - F.lit(1))
+    # PIN the numbered frame before branching: repartitionByRange SAMPLES the
+    # data to pick range bounds, and a re-evaluation may pick different
+    # bounds — if the count collection below and the downstream join saw
+    # different partitionings, the offsets would be applied to the wrong
+    # partitions and distinct inputs would collide onto duplicate ids
+    # (observed as a nondeterministic ~0.002% edge-merge at scale 21)
+    numbered = numbered.localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in numbered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -1,9 +1,11 @@
+from .betweenness import betweenness_centrality
 from .centrality import (
     degree_centrality,
     eigenvector_centrality,
     hits,
     katz_centrality,
 )
+from .mst import minimum_spanning_tree
 from .cores import core_number, k_core
 from .ktruss import k_truss
 from .louvain import louvain
@@ -51,4 +53,6 @@ __all__ = [
     "random_walks",
     "node2vec",
     "strongly_connected_components",
+    "betweenness_centrality",
+    "minimum_spanning_tree",
 ]

@@ -61,7 +61,7 @@ def label_propagation(
 
     for it in range(start_iter, max_iter):
         nbr_votes = edges.join(
-            labels.select(F.col(VID).alias(SRC), "label"), SRC
+            labels.select(F.col(VID).alias(SRC), "label").hint("shuffle_hash"), SRC
         ).select(F.col(DST).alias(VID), "label")
         self_votes = labels.select(VID, "label")
         counts = (

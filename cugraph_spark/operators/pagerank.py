@@ -46,6 +46,14 @@ class PageRankResult:
     converged: bool
     iterations: int
     l1_history: list
+    _state: DataFrame | None = None  # final persisted iteration state
+
+    def unpersist(self) -> None:
+        """Release the final iteration's cached state (call after the ranks
+        DataFrame has been consumed — repeated pagerank calls in one session
+        otherwise accumulate a cached V-row state per call)."""
+        if self._state is not None:
+            self._state.unpersist()
 
 
 def pagerank(
@@ -145,8 +153,12 @@ def pagerank(
         contribs = state.filter(F.col("out_wsum") > 0.0).select(
             F.col(VID).alias(SRC), (F.col("rank") / F.col("out_wsum")).alias("contrib")
         )
+        # SHUFFLE_HASH, not broadcast: at web scale the V-row contribution
+        # table must never funnel through the driver; the persisted edge
+        # table is already hash(src)-partitioned so only contribs move —
+        # a parallel V-row shuffle instead of a serial V-row broadcast build
         gathered = (
-            edges.join(contribs, SRC)
+            edges.join(contribs.hint("shuffle_hash"), SRC)
             .groupBy(F.col(DST).alias(VID))
             .agg(F.sum(F.col("contrib") * F.col(WGT)).alias("gather"))
         )
@@ -205,7 +217,7 @@ def pagerank(
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
     vbase.unpersist()
-    return PageRankResult(out, converged, iterations, l1_history)
+    return PageRankResult(out, converged, iterations, l1_history, _state=state)
 
 
 def _renumber_values(graph: LinkGraph, df: DataFrame, value_name: str) -> DataFrame:

@@ -64,7 +64,9 @@ def weakly_connected_components(
 
     for it in range(start_iter, max_iter):
         nbr_min = (
-            edges.join(labels.select(F.col(VID).alias(SRC), "label"), SRC)
+            edges.join(
+                labels.select(F.col(VID).alias(SRC), "label").hint("shuffle_hash"), SRC
+            )
             .groupBy(F.col(DST).alias(VID))
             .agg(F.min("label").alias("nbr_label"))
         )

@@ -44,11 +44,24 @@ def get_spark(
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # shuffle/checkpoint scratch on tmpfs when available: the iterative
+    # workloads write O(E) shuffle bytes per superstep, and a spinning /tmp
+    # makes the job disk-bound (on a real cluster this is local NVMe)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.default.parallelism", str(nshuffle))
+        # periodic driver GC: shuffle files are only reclaimed when the
+        # driver GC collects the dereferenced shuffle dependencies — with a
+        # large heap that can take thousands of supersteps, piling up
+        # O(E)-byte shuffle files per iteration until the cleanup storm
+        # stalls the job (multi-second spikes). 60s keeps it steady.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
