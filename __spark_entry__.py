@@ -47,10 +47,17 @@ from cugraph_spark.operators import (  # noqa: E402
     weakly_connected_components,
 )
 from cugraph_spark.operators import (  # noqa: E402
+    batched_ego_graphs,
     betweenness_centrality,
+    ecg,
+    edge_betweenness_centrality,
+    jaccard_w,
     k_truss,
+    leiden,
     louvain,
     minimum_spanning_tree,
+    overlap_w,
+    sorensen_w,
     strongly_connected_components,
 )
 from cugraph_spark import text as tx  # noqa: E402
@@ -285,6 +292,88 @@ def _q_betweenness(spark, sf_dir):
     )
 
 
+def _q_pagerank_personalized(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    pers = spark.range(0, K, 20).select(
+        F.col("id").alias("vertex"), F.lit(1.0).alias("values")
+    )
+    res = pagerank(g, alpha=0.85, personalization=pers, max_iter=PR_ITERS, tol=0.0)
+    return res.ranks.select(
+        F.col("vertex").cast("long"), F.round("pagerank", 6).alias("pagerank")
+    )
+
+
+def _q_leiden(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    parts, _q = leiden(g, max_iter=10, max_levels=3)
+    return parts.select(
+        F.col("vertex").cast("long"), F.col("partition").cast("long")
+    )
+
+
+def _q_ecg(spark, sf_dir):
+    g = _graph(spark, sf_dir)
+    parts, _q = ecg(g, ensemble_size=4, max_iter=6)
+    return parts.select(
+        F.col("vertex").cast("long"), F.col("partition").cast("long")
+    )
+
+
+def _q_edge_betweenness(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    out = edge_betweenness_centrality(g, k=list(range(16)), normalized=True)
+    return out.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.round("betweenness_centrality", 6).alias("betweenness_centrality"),
+    )
+
+
+def _vertex_weights(spark):
+    """Deterministic per-vertex weights 1 + (v % 7) for the weighted
+    similarity queries (mirrored exactly in the oracle SQL)."""
+    return spark.range(K).select(
+        F.col("id").alias("vertex"), (F.lit(1.0) + (F.col("id") % 7)).alias("weight")
+    )
+
+
+def _q_wjaccard(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    return jaccard_w(g, _vertex_weights(spark)).select(
+        F.col("first").cast("long"),
+        F.col("second").cast("long"),
+        F.round("jaccard_coeff", 6).alias("jaccard_coeff"),
+    )
+
+
+def _q_woverlap(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    return overlap_w(g, _vertex_weights(spark)).select(
+        F.col("first").cast("long"),
+        F.col("second").cast("long"),
+        F.round("overlap_coeff", 6).alias("overlap_coeff"),
+    )
+
+
+def _q_wsorensen(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    return sorensen_w(g, _vertex_weights(spark)).select(
+        F.col("first").cast("long"),
+        F.col("second").cast("long"),
+        F.round("sorensen_coeff", 6).alias("sorensen_coeff"),
+    )
+
+
+def _q_batched_ego(spark, sf_dir):
+    g = _graph(spark, sf_dir, renumber=False)
+    out = batched_ego_graphs(g, [1, 2, 3], radius=1)
+    return out.select(
+        F.col("seed").cast("long"),
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return tx.exact_dedup(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"), F.col("dup_count").cast("long")
@@ -368,8 +457,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "ktruss": _q_ktruss,
         "louvain": _q_louvain,
+        "leiden": _q_leiden,
+        "ecg": _q_ecg,
         "mst_summary": _q_mst_summary,
         "betweenness": _q_betweenness,
+        "edge_betweenness": _q_edge_betweenness,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "wjaccard": _q_wjaccard,
+        "woverlap": _q_woverlap,
+        "wsorensen": _q_wsorensen,
+        "batched_ego": _q_batched_ego,
         "dedup_exact": _q_dedup_exact,
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
@@ -440,6 +537,121 @@ def _sql_pagerank(iters: int = PR_ITERS, alpha: float = 0.85) -> str:
         "SELECT CAST(v AS BIGINT) AS vertex, ROUND(rank, 6) AS pagerank FROM fin"
     )
     return "\n".join(parts)
+
+
+def _sql_pagerank_personalized(iters: int = PR_ITERS, alpha: float = 0.85) -> str:
+    """Same MATERIALIZED-CTE scheme as ``_sql_pagerank`` with the
+    personalization arm (``pagerank_impl.cuh:298-318``): the constant term
+    ``(α·dangling + (1−α))`` is distributed ∝ p_v/Σp instead of 1/V."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES}), verts AS MATERIALIZED ({_VERTS}),",
+        "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) n FROM verts),",
+        "outw AS MATERIALIZED (SELECT verts.v, CAST(COALESCE(o.c,0) AS DOUBLE) ow FROM verts "
+        "LEFT JOIN (SELECT src, COUNT(*) c FROM edges GROUP BY src) o ON o.src = verts.v),",
+        "p AS MATERIALIZED (SELECT v FROM verts WHERE v % 20 = 0),",
+        "pn AS MATERIALIZED (SELECT v, 1.0 / (SELECT COUNT(*) FROM p) AS pn FROM p),",
+        "r0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nv) AS rank FROM verts),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank),0) dm FROM r{i} r "
+            f"JOIN outw o ON o.v = r.v WHERE o.ow = 0),"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT e.dst v, SUM(r.rank/o.ow) gather FROM edges e "
+            f"JOIN r{i} r ON r.v = e.src JOIN outw o ON o.v = e.src "
+            f"WHERE o.ow > 0 GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i+1} AS MATERIALIZED (SELECT verts.v, {alpha}*COALESCE(g.gather,0) + "
+            f"({alpha}*(SELECT dm FROM d{i}) + {1.0 - alpha}) * COALESCE(pn.pn, 0) AS rank "
+            f"FROM verts LEFT JOIN g{i} g ON g.v = verts.v "
+            f"LEFT JOIN pn ON pn.v = verts.v),"
+        )
+    parts.append(
+        f"fin AS (SELECT * FROM r{iters}) "
+        "SELECT CAST(v AS BIGINT) AS vertex, ROUND(rank, 6) AS pagerank FROM fin"
+    )
+    return "\n".join(parts)
+
+
+def _sql_weighted_pair(expr: str, alias: str) -> str:
+    """Weighted similarity oracle: per-vertex weights 1 + (v % 7), neighbor
+    volumes and Σ-min-free intersection sums exactly as
+    ``similarity._weighted_pair_stats`` computes them."""
+    return f"""
+WITH edges AS ({_EDGES}),
+sym AS (SELECT DISTINCT src, dst FROM ({_SYM}) WHERE src != dst),
+w AS (SELECT v, 1.0 + (v % 7) AS wt FROM ({_VERTS})),
+nbrw AS (SELECT s.src, s.dst, w.wt FROM sym s JOIN w ON w.v = s.dst),
+vol AS (SELECT src v, SUM(wt) vol FROM nbrw GROUP BY src),
+inter AS (SELECT a.src fa, b.src fb, SUM(a.wt) isect FROM nbrw a
+          JOIN nbrw b ON a.dst = b.dst AND a.src < b.src GROUP BY a.src, b.src)
+SELECT CAST(fa AS BIGINT) AS first, CAST(fb AS BIGINT) AS second,
+       ROUND({expr}, 6) AS {alias}
+FROM inter JOIN vol va ON va.v = fa JOIN vol vb ON vb.v = fb
+"""
+
+
+def _sql_batched_ego() -> str:
+    return f"""
+WITH edges AS ({_EDGES}),
+sym AS ({_SYM}),
+seeds AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS seed),
+n1 AS (SELECT s.seed, y.dst AS v FROM seeds s JOIN sym y ON y.src = s.seed),
+keep AS (SELECT seed, seed AS v FROM seeds UNION SELECT seed, v FROM n1)
+SELECT CAST(e_seed AS BIGINT) AS seed, CAST(src AS BIGINT) AS src,
+       CAST(dst AS BIGINT) AS dst
+FROM (SELECT a.seed AS e_seed, e.src, e.dst
+      FROM edges e JOIN keep a ON e.src = a.v JOIN keep b
+        ON e.dst = b.v AND b.seed = a.seed)
+"""
+
+
+def _sql_embedding_lsh_topk(
+    k: int = 5, n_planes: int = 64, n_bands: int = 8
+) -> str:
+    """Exact SQL mirror of :func:`cugraph_spark.vector.lsh_topk` — the
+    signature math is INTEGER (quantized components, modular ±1 signs), so
+    the bucket assignment is bit-identical across engines; candidates,
+    cosines, rounding and ranking then replay the Spark plan."""
+    rows = n_planes // n_bands
+    flips = [0] + [1 << b for b in range(rows)]
+    q = vec.QUANT
+    a_, b_ = 1299721, 15485863
+    p = vec.P
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (SELECT id, generate_subscripts(v, 1) - 1 AS j,
+                CAST(ROUND(unnest(v) * {q}) AS BIGINT) AS xq,
+                len(v) AS dim
+         FROM base),
+proj AS (SELECT id, t.pi AS pi,
+                SUM(CASE WHEN (({a_} * (t.pi * dim + j) + {b_}) % {p}) % 2 = 1
+                    THEN xq ELSE -xq END) AS dot
+         FROM comp CROSS JOIN range({n_planes}) t(pi)
+         GROUP BY id, t.pi),
+bk AS (SELECT id, CAST(pi // {rows} AS INT) AS band,
+              SUM(CASE WHEN dot > 0
+                  THEN CAST(POWER(2, pi % {rows}) AS BIGINT) ELSE 0 END) AS bkey
+       FROM proj GROUP BY id, pi // {rows}),
+probes AS (SELECT id, band, xor(bkey, f.f) AS bkey
+           FROM bk CROSS JOIN (SELECT CAST(unnest({flips}) AS BIGINT) AS f) f),
+cand AS (SELECT DISTINCT l.id AS query_id, r.id AS neighbor_id
+         FROM probes l JOIN bk r ON r.band = l.band AND r.bkey = l.bkey
+         WHERE l.id != r.id),
+n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+sims AS (SELECT c.query_id, c.neighbor_id,
+    ROUND(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 4) + 0.0 AS cosine
+  FROM cand c JOIN n q ON q.id = c.query_id JOIN n t ON t.id = c.neighbor_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= {k}
+"""
 
 
 def _sql_wcc() -> str:
@@ -892,8 +1104,21 @@ def oracle_sql() -> dict[str, str]:
         "scc": _sql_scc(),
         "mst_summary": _sql_mst_summary(),
         # ktruss: no SQL oracle (fixpoint peel loop) → rows-only check
-        # louvain: no SQL oracle (multi-level optimization) → rows-only check
-        # betweenness: no SQL oracle (Brandes accumulation) → rows-only check
+        # louvain/leiden/ecg: no SQL oracle (multi-level optimization) →
+        #   rows-only check; pytest carries the modularity gates
+        # betweenness/edge_betweenness: no SQL oracle (Brandes) → rows-only
+        "pagerank_personalized": _sql_pagerank_personalized(),
+        "wjaccard": _sql_weighted_pair(
+            "CAST(isect AS DOUBLE) / (va.vol + vb.vol - isect)", "jaccard_coeff"
+        ),
+        "woverlap": _sql_weighted_pair(
+            "CAST(isect AS DOUBLE) / LEAST(va.vol, vb.vol)", "overlap_coeff"
+        ),
+        "wsorensen": _sql_weighted_pair(
+            "2.0 * isect / (va.vol + vb.vol)", "sorensen_coeff"
+        ),
+        "batched_ego": _sql_batched_ego(),
+        "embedding_lsh_topk": _sql_embedding_lsh_topk(),
         "dedup_exact": _sql_dedup_exact(),
         "doc_stats": _sql_doc_stats(),
         "lang_id": _sql_lang_id(),
@@ -902,6 +1127,4 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "minhash_near_dup": _sql_minhash_near_dup(),
         "embedding_topk": _sql_embedding_topk(),
-        # embedding_lsh_topk: intentionally no oracle (approximate ANN path;
-        # driver records the rows-only check)
     }

@@ -24,6 +24,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,29 @@ DST = "dst"
 WGT = "weight"
 VID = "id"
 EXT = "ext_id"
+
+
+@contextmanager
+def static_plan(spark: SparkSession):
+    """Disable adaptive query execution for the duration of a block.
+
+    For ONE-SHOT queries whose inputs are already well-partitioned this
+    saves AQE's per-stage re-planning.  Do NOT use it around iterative
+    state that flows through ``localCheckpoint`` (``truncate_state``):
+    Spark 4 builds the checkpointed LogicalRDD's statistics from the origin
+    plan, and only an adaptive execution substitutes runtime-exact sizes —
+    under a non-adaptive loop the inherited ESTIMATE compounds per
+    iteration (a state referenced k times per superstep raises sizeInBytes
+    to the k-th power), doubling the BigInteger digit count every round
+    until Catalyst spends minutes in BigInteger math (observed: Leiden's
+    refinement wedged near round 17).
+    """
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def truncate_state(
@@ -60,7 +84,19 @@ def truncate_state(
     # eager checkpoint materializes the RDD (1 job); the cache fills lazily
     # on the caller's next action (convergence check), so each iteration
     # costs 2 jobs, not 3 — by the time the NEXT iteration is planned the
-    # cache is materialized and its actual size replaces the estimate
+    # cache is materialized and its actual size replaces the estimate.
+    #
+    # The materialization MUST run with AQE ON.  Round-2 measured AQE
+    # costing ~45% of the superstep at R-MAT scale 23 / local[32] and
+    # tried disabling it here: Spark 4's localCheckpoint then inherits the
+    # origin plan's sizeInBytes ESTIMATE (AQE is what injects runtime-exact
+    # sizes), and a state referenced k times per superstep raises the
+    # estimate to the k-th power per iteration — BigInteger digits double
+    # every round until Catalyst melts (observed: Leiden refinement wedged
+    # near round 17; an eager full cache fill does not prevent it).  The
+    # AQE overhead is recovered instead by sizing shuffle partitions to
+    # 2× cores (see session.py) so AQE's post-shuffle coalescing cannot
+    # sink stage parallelism below the core count.
     return df.localCheckpoint(eager=True).persist()
 
 
@@ -172,12 +208,39 @@ class LinkGraph:
         """Build pipeline mirroring ``simpleGraph.py:122-302``:
         validate → renumber → symmetrize (undirected) → dedup → persist
         canonical internal edges co-partitioned by src.
+
+        ``src``/``dst`` may be LISTS of column names — multi-column external
+        vertex keys of any type (reference ``number_map.py:111-139``,
+        ``graph_classes.py:107-205`` "multiple columns, any data type").
+        Composite keys are packed into a struct with positional field names
+        so src/dst structs union and join; the renumber map's ``ext_id``
+        column is then that struct, and ``unrenumber`` yields it back
+        (use ``expand_ext_id`` to split it into columns).
         """
         spark = df.sparkSession
         n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
         weighted = weight is not None
 
-        cols = [F.col(src).alias("_esrc"), F.col(dst).alias("_edst")]
+        multi = isinstance(src, (list, tuple)) or isinstance(dst, (list, tuple))
+        if multi:
+            s_cols = list(src) if isinstance(src, (list, tuple)) else [src]
+            d_cols = list(dst) if isinstance(dst, (list, tuple)) else [dst]
+            if len(s_cols) != len(d_cols):
+                raise ValueError(
+                    "multi-column src/dst key lists must have equal length"
+                )
+            if not renumber:
+                raise ValueError("multi-column vertex keys require renumber=True")
+            cols = [
+                F.struct(
+                    *[F.col(c).alias(f"k{i}") for i, c in enumerate(s_cols)]
+                ).alias("_esrc"),
+                F.struct(
+                    *[F.col(c).alias(f"k{i}") for i, c in enumerate(d_cols)]
+                ).alias("_edst"),
+            ]
+        else:
+            cols = [F.col(src).alias("_esrc"), F.col(dst).alias("_edst")]
         if weighted:
             cols.append(F.col(weight).cast("double").alias(WGT))
         raw = df.select(*cols)
@@ -315,6 +378,24 @@ class LinkGraph:
             e = self.unrenumber(e, DST)
         return e
 
+    def view_adj_list(self) -> DataFrame:
+        """Adjacency view [id, nbrs: array<long>] — sorted out-neighbors per
+        vertex, internal ids (reference ``simpleGraph.py:549-642`` returns
+        CSR offsets/indices; the per-vertex sorted-array DataFrame is the
+        distributed equivalent — a global offsets array cannot exist at
+        scale, and per-partition CSR is built transiently inside Arrow
+        kernels when needed, SURVEY §1.1)."""
+        return self.edges.groupBy(F.col(SRC).alias(VID)).agg(
+            F.sort_array(F.collect_list(DST)).alias("nbrs")
+        )
+
+    def view_transposed_adj_list(self) -> DataFrame:
+        """[id, nbrs] — sorted IN-neighbors per vertex
+        (reference ``view_transposed_adj_list``)."""
+        return self.edges.groupBy(F.col(DST).alias(VID)).agg(
+            F.sort_array(F.collect_list(SRC)).alias("nbrs")
+        )
+
     # ------------------------------------------------------- conversions
     def to_undirected(self) -> "LinkGraph":
         """Re-build with symmetrization (``graph_classes.py:690-747``)."""
@@ -335,6 +416,58 @@ class LinkGraph:
         return self.view_edge_list().toPandas()
 
     @classmethod
+    def from_numpy_array(
+        cls, spark: SparkSession, arr, directed: bool = True, renumber: bool = True
+    ) -> "LinkGraph":
+        """Dense adjacency matrix → graph (reference
+        ``structure/convert_matrix.py:from_numpy_array``): every nonzero
+        ``A[i, j]`` becomes edge (i, j, A[i, j]). Small-matrix convenience —
+        the matrix is driver-side by definition."""
+        import numpy as np
+
+        a = np.asarray(arr)
+        if a.ndim != 2 or a.shape[0] != a.shape[1]:
+            raise ValueError("adjacency matrix must be square")
+        src, dst = np.nonzero(a)
+        rows = [
+            (int(s), int(d), float(a[s, d])) for s, d in zip(src, dst)
+        ]
+        df = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+        return cls.from_edges(
+            df, weight="weight", directed=directed, renumber=renumber
+        )
+
+    def to_numpy_array(self):
+        """Graph → dense adjacency over internal ids (reference
+        ``convert_matrix.to_numpy_array``). Small graphs only (collects)."""
+        import numpy as np
+
+        n = self.number_of_vertices()
+        a = np.zeros((n, n))
+        for r in self.edges.collect():
+            a[r[SRC], r[DST]] = r[WGT]
+        return a
+
+    @classmethod
+    def from_scipy_sparse(
+        cls, spark: SparkSession, mat, directed: bool = True, renumber: bool = True
+    ) -> "LinkGraph":
+        """SciPy sparse matrix → graph (``convert_matrix.py`` COO path).
+        Gated: scipy is optional in this environment."""
+        try:
+            coo = mat.tocoo()
+        except AttributeError as exc:  # pragma: no cover
+            raise TypeError("expected a scipy sparse matrix") from exc
+        rows = [
+            (int(s), int(d), float(w))
+            for s, d, w in zip(coo.row, coo.col, coo.data)
+        ]
+        df = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+        return cls.from_edges(
+            df, weight="weight", directed=directed, renumber=renumber
+        )
+
+    @classmethod
     def from_pandas_edgelist(
         cls, spark: SparkSession, pdf, src: str = SRC, dst: str = DST,
         weight: str | None = None, directed: bool = True, renumber: bool = True,
@@ -344,6 +477,23 @@ class LinkGraph:
             spark.createDataFrame(pdf), src=src, dst=dst, weight=weight,
             directed=directed, renumber=renumber,
         )
+
+    @classmethod
+    def from_pandas_adjacency(
+        cls, spark: SparkSession, pdf, directed: bool = True
+    ) -> "LinkGraph":
+        """Pandas adjacency-matrix DataFrame → graph (reference
+        ``graph_classes.py:444-459``): index/columns are the vertex ids."""
+        import numpy as np
+
+        a = pdf.to_numpy()
+        labels = list(pdf.index)
+        src, dst = np.nonzero(a)
+        rows = [
+            (labels[s], labels[d], float(a[s, d])) for s, d in zip(src, dst)
+        ]
+        df = spark.createDataFrame(rows, ["src", "dst", "weight"])
+        return cls.from_edges(df, weight="weight", directed=directed, renumber=True)
 
     # ------------------------------------------------------------ un/renumber
     def unrenumber(self, df: DataFrame, col: str = "vertex") -> DataFrame:
@@ -356,6 +506,18 @@ class LinkGraph:
         )
         out = df.join(F.broadcast(m) if self._map_small() else m, col, "left")
         return out.drop(col).withColumnRenamed("_ext", col)
+
+    def expand_ext_id(
+        self, df: DataFrame, col: str, names: list | None = None
+    ) -> DataFrame:
+        """Split a struct-valued external-id column (produced by
+        multi-column-key unrenumbering) into one column per key part."""
+        field_names = df.schema[col].dataType.names
+        out_names = names or [f"{col}_{i}" for i in range(len(field_names))]
+        exprs = [c for c in df.columns if c != col] + [
+            F.col(f"{col}.{f}").alias(o) for f, o in zip(field_names, out_names)
+        ]
+        return df.select(*exprs)
 
     def _map_small(self) -> bool:
         return self.number_of_vertices() < 5_000_000

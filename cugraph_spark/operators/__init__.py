@@ -1,4 +1,4 @@
-from .betweenness import betweenness_centrality
+from .betweenness import betweenness_centrality, edge_betweenness_centrality
 from .centrality import (
     degree_centrality,
     eigenvector_centrality,
@@ -7,21 +7,38 @@ from .centrality import (
 )
 from .mst import minimum_spanning_tree
 from .cores import core_number, k_core
+from .ecg import ecg
 from .ktruss import k_truss
+from .leiden import leiden
 from .louvain import louvain
 from .lpa import label_propagation
 from .sampling import node2vec, random_walks
 from .scc import strongly_connected_components
 from .pagerank import PageRankResult, pagerank
-from .similarity import jaccard, overlap, sorensen
+from .similarity import (
+    jaccard,
+    jaccard_w,
+    overlap,
+    overlap_w,
+    sorensen,
+    sorensen_w,
+)
 from .structure import (
+    batched_ego_graphs,
     ego_graph,
     induced_subgraph,
     select_random_vertices,
     two_hop_neighbors,
     uniform_neighbor_sample,
 )
-from .traversal import bfs, sssp
+from .traversal import (
+    bfs,
+    filter_unreachable,
+    get_traversed_path,
+    get_traversed_path_list,
+    shortest_path_length,
+    sssp,
+)
 from .triangles import total_triangles, triangle_count
 from .wcc import weakly_connected_components
 
@@ -34,6 +51,10 @@ __all__ = [
     "total_triangles",
     "bfs",
     "sssp",
+    "filter_unreachable",
+    "shortest_path_length",
+    "get_traversed_path",
+    "get_traversed_path_list",
     "jaccard",
     "overlap",
     "sorensen",
@@ -46,13 +67,20 @@ __all__ = [
     "two_hop_neighbors",
     "induced_subgraph",
     "ego_graph",
+    "batched_ego_graphs",
     "select_random_vertices",
     "uniform_neighbor_sample",
     "k_truss",
     "louvain",
+    "ecg",
     "random_walks",
     "node2vec",
     "strongly_connected_components",
     "betweenness_centrality",
+    "edge_betweenness_centrality",
+    "leiden",
+    "jaccard_w",
+    "overlap_w",
+    "sorensen_w",
     "minimum_spanning_tree",
 ]

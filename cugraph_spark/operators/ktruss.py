@@ -81,6 +81,35 @@ def k_truss(graph: LinkGraph, k: int, unrenumber: bool = True) -> DataFrame:
     )
     und = truncate_state(und, n_part, SRC)
 
+    # (k−1)-core pre-peel: an edge of the k-truss needs k−2 common
+    # neighbors, so both endpoints need degree ≥ k−1 — peel cheaper
+    # degree-filters before the expensive support rounds (the reference's
+    # 2-core prune generalized, ``triangle_count_impl.cuh:238-273``).
+    # Partial peeling is correctness-neutral (the support loop below is the
+    # fixpoint); cap the rounds and stop on diminishing returns.
+    for _ in range(5):
+        dg = (
+            und.select(F.col(SRC).alias("v"))
+            .union(und.select(F.col(DST).alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        low = dg.filter(F.col("d") < k - 1).select("v")
+        pruned = truncate_state(
+            und.join(low.withColumnRenamed("v", SRC), SRC, "left_anti")
+            .join(low.withColumnRenamed("v", DST), DST, "left_anti"),
+            n_part,
+            SRC,
+        )
+        before_cnt, after_cnt = und.count(), pruned.count()
+        if after_cnt == before_cnt:
+            pruned.unpersist()
+            break
+        und.unpersist()
+        und = pruned
+        if after_cnt > 0.95 * before_cnt:
+            break
+
     while True:
         sup = _edge_support(und)
         kept = sup.filter(F.col("support") >= k - 2).select(SRC, DST)

@@ -77,8 +77,12 @@ def _local_move(
             .groupBy("i", "c")
             .agg(F.max("kic").alias("kic"))
         )
+        # NO broadcast hint on sigma: in the first rounds every vertex is
+        # its own community, so sigma is V rows — at web scale that must
+        # shuffle-join; Catalyst auto-broadcasts later rounds when the
+        # community count has collapsed under the broadcast threshold
         scored = (
-            cand.join(F.broadcast(sigma), "c")
+            cand.join(sigma, "c")
             .join(deg, "i")
             .join(cur, "i")
             .withColumn(
@@ -118,6 +122,44 @@ def _local_move(
         else:
             stable_rounds = 0
     return comm
+
+
+def _modularity(orig: DataFrame, m_orig: DataFrame, resolution: float) -> float:
+    """Q = Σ_c [in_c/(2m) − γ·(Σtot_c/(2m))²] over the canonical undirected
+    edge frame ``orig`` [a, b, w] and assignment ``m_orig`` [v, c]."""
+    loops = orig.filter(F.col("a") == F.col("b"))
+    nonloops = orig.filter(F.col("a") != F.col("b"))
+    both = nonloops.select(F.col("a").alias("i"), F.col("b").alias("j"), "w").union(
+        nonloops.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
+    )
+    deg = (
+        both.groupBy("i").agg(F.sum("w").alias("k"))
+        .join(loops.select(F.col("a").alias("i"), (F.lit(2.0) * F.col("w")).alias("lw")), "i", "full")
+        .select("i", (F.coalesce("k", F.lit(0.0)) + F.coalesce("lw", F.lit(0.0))).alias("k"))
+    )
+    two_m = deg.agg(F.sum("k")).collect()[0][0] or 1.0
+    sig = (
+        m_orig.join(deg.withColumnRenamed("i", "v"), "v")
+        .groupBy("c")
+        .agg(F.sum("k").alias("sig"))
+    )
+    # in_c: both-direction weight inside the community (+2w per self loop)
+    cv = m_orig.withColumnRenamed("v", "i").withColumnRenamed("c", "ci")
+    cv2 = m_orig.withColumnRenamed("v", "j").withColumnRenamed("c", "cj")
+    in_both = (
+        both.join(cv, "i").join(cv2, "j").filter(F.col("ci") == F.col("cj"))
+        .agg(F.sum("w")).collect()[0][0]
+        or 0.0
+    )
+    in_loops = (
+        loops.join(cv.withColumnRenamed("i", "a"), "a")
+        .agg(F.sum(F.lit(2.0) * F.col("w"))).collect()[0][0]
+        or 0.0
+    )
+    q_parts = sig.select(
+        F.sum((F.col("sig") / F.lit(two_m)) * (F.col("sig") / F.lit(two_m)))
+    ).collect()[0][0] or 0.0
+    return (in_both + in_loops) / two_m - resolution * float(q_parts)
 
 
 def louvain(
@@ -163,6 +205,7 @@ def louvain(
 
         n_comms = comm.select("c").distinct().count()
         # compose mapping original -> community of this level
+        old_mapping = mapping
         if mapping is None:
             mapping = comm.select(F.col("i").alias("orig"), F.col("c").alias("cur"))
         else:
@@ -170,8 +213,12 @@ def louvain(
                 comm.select(F.col("i").alias("cur"), F.col("c").alias("_nc")), "cur"
             ).select("orig", F.col("_nc").alias("cur"))
         mapping = truncate_state(mapping, n_part, "orig")
+        if old_mapping is not None:
+            old_mapping.unpersist()
 
         if n_comms >= n_before:
+            deg.unpersist()
+            comm.unpersist()
             break
 
         # coarsen: communities become vertices; self-loops carry the
@@ -195,6 +242,7 @@ def louvain(
         deg.unpersist()
         comm.unpersist()
 
+    edges.unpersist()
     if mapping is None:  # empty/edgeless graph: every vertex its own community
         mapping = graph.vertices().select(
             F.col(VID).alias("orig"), F.col(VID).alias("cur")
@@ -203,39 +251,7 @@ def louvain(
     # ---- final modularity over the ORIGINAL graph ------------------------
     orig = truncate_state(_canonical_undirected(graph), n_part, "a")
     m_orig = mapping.select(F.col("orig").alias("v"), F.col("cur").alias("c"))
-    loops = orig.filter(F.col("a") == F.col("b"))
-    nonloops = orig.filter(F.col("a") != F.col("b"))
-    both = nonloops.select(F.col("a").alias("i"), F.col("b").alias("j"), "w").union(
-        nonloops.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
-    )
-    deg = (
-        both.groupBy("i").agg(F.sum("w").alias("k"))
-        .join(loops.select(F.col("a").alias("i"), (F.lit(2.0) * F.col("w")).alias("lw")), "i", "full")
-        .select("i", (F.coalesce("k", F.lit(0.0)) + F.coalesce("lw", F.lit(0.0))).alias("k"))
-    )
-    two_m = deg.agg(F.sum("k")).collect()[0][0] or 1.0
-    sig = (
-        m_orig.join(deg.withColumnRenamed("i", "v"), "v")
-        .groupBy("c")
-        .agg(F.sum("k").alias("sig"))
-    )
-    # in_c: both-direction weight inside the community (+2w per self loop)
-    cv = m_orig.withColumnRenamed("v", "i").withColumnRenamed("c", "ci")
-    cv2 = m_orig.withColumnRenamed("v", "j").withColumnRenamed("c", "cj")
-    in_both = (
-        both.join(cv, "i").join(cv2, "j").filter(F.col("ci") == F.col("cj"))
-        .agg(F.sum("w")).collect()[0][0]
-        or 0.0
-    )
-    in_loops = (
-        loops.join(cv.withColumnRenamed("i", "a"), "a")
-        .agg(F.sum(F.lit(2.0) * F.col("w"))).collect()[0][0]
-        or 0.0
-    )
-    q_parts = sig.select(
-        F.sum((F.col("sig") / F.lit(two_m)) * (F.col("sig") / F.lit(two_m)))
-    ).collect()[0][0] or 0.0
-    modularity = (in_both + in_loops) / two_m - resolution * float(q_parts)
+    modularity = _modularity(orig, m_orig, resolution)
 
     out = m_orig.select(F.col("v").alias("vertex"), F.col("c").alias("partition"))
     canon = out.groupBy("partition").agg(F.min("vertex").alias("_canon"))
@@ -250,4 +266,6 @@ def louvain(
                 "vertex", F.col("_c2").alias("partition")
             )
     orig.unpersist()
+    if hasattr(mapping, "is_cached") and mapping.is_cached:
+        mapping.unpersist()
     return out, float(modularity)

@@ -76,7 +76,7 @@ def label_propagation(
         obs = Observation(f"lpa_iter_{it}")
         new_labels = truncate_state(
             labels.select(VID, F.col("label").alias("_old"))
-            .join(picked, VID, "left")
+            .join(picked.hint("shuffle_hash"), VID, "left")
             .select(
                 VID,
                 F.coalesce(F.col("new_label"), F.col("_old")).alias("label"),

@@ -32,6 +32,7 @@ Spark plan per superstep — ONE job, one real shuffle:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation
@@ -46,6 +47,7 @@ class PageRankResult:
     converged: bool
     iterations: int
     l1_history: list
+    iter_secs: list = None  # wall time per superstep (materialization incl.)
     _state: DataFrame | None = None  # final persisted iteration state
 
     def unpersist(self) -> None:
@@ -145,8 +147,10 @@ def pagerank(
     converged = False
     iterations = start_iter
     l1_history: list = []
+    iter_secs: list = []
 
     for it in range(start_iter, max_iter):
+        _t0 = time.time()
         # pre-divide (pagerank_impl:249-261): contribution = rank / out_wsum;
         # already hash-partitioned on the join key — no exchange on either
         # side of the edge join, the groupBy(dst) is the only shuffle
@@ -170,10 +174,16 @@ def pagerank(
             mass = alpha * dangling + (1.0 - alpha)
             new_rank = F.lit(alpha) * F.col("gather") + F.lit(mass) * F.col("p_norm")
 
+        # shuffle_hash hint: both sides are already hash(id)-partitioned, so
+        # this is an exchange-free local join — without the hint the
+        # planner may pick a BROADCAST of the V-row gather (its estimate
+        # sits near the threshold), serializing ~V·16B through the driver
+        # EVERY iteration: a core-count-independent fixed cost that caps
+        # scaling efficiency
         obs = Observation(f"pagerank_iter_{it}")
         new_state = (
             state.select(VID, *static_cols, F.col("rank").alias("_old"))
-            .join(gathered, VID, "left")
+            .join(gathered.hint("shuffle_hash"), VID, "left")
             .fillna(0.0, ["gather"])
             .select(VID, *static_cols, new_rank.alias("rank"), F.col("_old"))
             .observe(
@@ -196,6 +206,7 @@ def pagerank(
         state = new_state
         iterations = it + 1
         l1_history.append(l1)
+        iter_secs.append(time.time() - _t0)
 
         if checkpointer is not None:
             checkpointer.save(
@@ -217,7 +228,9 @@ def pagerank(
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
     vbase.unpersist()
-    return PageRankResult(out, converged, iterations, l1_history, _state=state)
+    return PageRankResult(
+        out, converged, iterations, l1_history, iter_secs=iter_secs, _state=state
+    )
 
 
 def _renumber_values(graph: LinkGraph, df: DataFrame, value_name: str) -> DataFrame:
@@ -229,4 +242,8 @@ def _renumber_values(graph: LinkGraph, df: DataFrame, value_name: str) -> DataFr
     if graph.renumber_map is None:
         return sel.withColumnRenamed("_ext", VID)
     m = graph.renumber_map.select(F.col("ext_id").alias("_ext"), VID)
-    return sel.join(F.broadcast(m), "_ext").select(VID, value_name)
+    # broadcast only when the map is small — a V-row map at billions of
+    # vertices must shuffle-join, never funnel through the driver
+    return sel.join(F.broadcast(m) if graph._map_small() else m, "_ext").select(
+        VID, value_name
+    )

@@ -93,7 +93,7 @@ def strongly_connected_components(
                 .agg(F.max("c").alias("nc"))
             )
             new_colors = (
-                colors.join(pushed, "v", "left")
+                colors.join(pushed.hint("shuffle_hash"), "v", "left")
                 .select("v", F.greatest(F.col("c"), F.coalesce("nc", "c")).alias("c"))
             )
             new_colors = truncate_state(new_colors, n_part, "v")
@@ -144,6 +144,16 @@ def strongly_connected_components(
         old_e.unpersist()
         colors.unpersist()
         marked.unpersist()
+    else:
+        # max_outer exhausted: any still-unassigned vertex must not be
+        # silently dropped — label each with itself (correct whenever the
+        # residual has only singleton SCCs; conservative otherwise)
+        leftover = verts.select("v", F.col("v").alias("labels"))
+        assigned = leftover if assigned is None else assigned.union(leftover)
+
+    if assigned is None:
+        # zero-vertex graph: empty [vertex, labels] frame, not an error
+        assigned = graph.spark.createDataFrame([], "v LONG, labels LONG")
 
     out = assigned.select(F.col("v").alias("vertex"), "labels")
     if unrenumber:

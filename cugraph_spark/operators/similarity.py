@@ -23,12 +23,38 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, VID, LinkGraph
 
 
+def _safe_div(num, den):
+    """num/den with 0/0 → 0.0 (zero-neighborhood pairs score 0, not null)."""
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
 def _undirected_edges(graph: LinkGraph) -> DataFrame:
     """Symmetric, deduped, loop-free neighbor relation [src, dst]."""
     e = graph.edges.select(SRC, DST)
     if graph.properties.directed:
         e = e.union(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
     return e.filter(F.col(SRC) != F.col(DST)).distinct()
+
+
+def _renumber_pairs(graph: LinkGraph, vertex_pair: DataFrame) -> DataFrame:
+    """Map a user-supplied [first, second] pair frame from EXTERNAL vertex
+    ids to internal ids (reference API takes external ids, ``jaccard.py``
+    renumbers via ``add_internal_vertex_id`` before the C++ call).  Pairs
+    with endpoints absent from the graph are dropped, as in the reference."""
+    if graph.renumber_map is None:
+        return vertex_pair.select(
+            F.col("first").cast("long"), F.col("second").cast("long")
+        )
+    m = graph.renumber_map  # [ext_id, id]
+    small = graph._map_small()
+    m1 = m.select(F.col("ext_id").alias("first"), F.col(VID).alias("_f"))
+    m2 = m.select(F.col("ext_id").alias("second"), F.col(VID).alias("_s"))
+    out = (
+        vertex_pair.join(F.broadcast(m1) if small else m1, "first")
+        .join(F.broadcast(m2) if small else m2, "second")
+        .select(F.col("_f").alias("first"), F.col("_s").alias("second"))
+    )
+    return out
 
 
 def _pair_stats(graph: LinkGraph, vertex_pair: DataFrame | None) -> DataFrame:
@@ -50,15 +76,27 @@ def _pair_stats(graph: LinkGraph, vertex_pair: DataFrame | None) -> DataFrame:
         .agg(F.count("*").alias("isect"))
     )
     if vertex_pair is not None:
-        pairs = vertex_pair.select(
+        pairs = _renumber_pairs(graph, vertex_pair)
+        pairs = pairs.select(
             F.least("first", "second").alias("first"),
             F.greatest("first", "second").alias("second"),
         ).distinct()
         wedges = pairs.join(wedges, ["first", "second"], "left").fillna(0, ["isect"])
 
+    # left joins + fillna(0): a pair whose endpoint has no neighbors must
+    # survive with degree 0 (coefficient 0), not silently vanish
     out = (
-        wedges.join(deg.withColumnRenamed("v", "first").withColumnRenamed("deg", "deg_first"), "first")
-        .join(deg.withColumnRenamed("v", "second").withColumnRenamed("deg", "deg_second"), "second")
+        wedges.join(
+            deg.withColumnRenamed("v", "first").withColumnRenamed("deg", "deg_first"),
+            "first",
+            "left",
+        )
+        .join(
+            deg.withColumnRenamed("v", "second").withColumnRenamed("deg", "deg_second"),
+            "second",
+            "left",
+        )
+        .fillna(0, ["deg_first", "deg_second"])
     )
     und.unpersist()
     return out
@@ -71,6 +109,129 @@ def _finish(graph: LinkGraph, df: DataFrame, unrenumber: bool) -> DataFrame:
     return df
 
 
+def _weighted_pair_stats(
+    graph: LinkGraph, weights: DataFrame, vertex_pair: DataFrame | None
+) -> DataFrame:
+    """[first, second, isect_w, vol_first, vol_second] with per-VERTEX weights.
+
+    Reference semantics (``link_prediction/wjaccard.py:20-79``, legacy C++
+    jaccard kernel with weighted=true): the neighborhood is a weighted set —
+    |N(a)∩N(b)| becomes Σ_{v∈∩} w(v) and |N(a)| becomes the "volume"
+    Σ_{v∈N(a)} w(v).  ``weights`` is DF[vertex, weight] in external ids.
+    """
+    wcols = weights.columns
+    wsel = weights.select(
+        F.col(wcols[0]).alias("vertex"), F.col(wcols[1]).cast("double").alias("_w")
+    )
+    if graph.renumber_map is not None:
+        m = graph.renumber_map.select(
+            F.col("ext_id").alias("vertex"), F.col(VID).alias("_v")
+        )
+        small = graph._map_small()
+        wsel = (
+            wsel.join(F.broadcast(m) if small else m, "vertex")
+            .select(F.col("_v").alias("v"), "_w")
+        )
+    else:
+        wsel = wsel.select(F.col("vertex").cast("long").alias("v"), "_w")
+
+    und = _undirected_edges(graph).persist()
+    # neighbor weights: every (src, dst) edge carries w(dst); missing → 0
+    nbrw = (
+        und.join(wsel.withColumnRenamed("v", DST), DST, "left")
+        .fillna(0.0, ["_w"])
+    )
+    vol = nbrw.groupBy(F.col(SRC).alias("v")).agg(F.sum("_w").alias("vol"))
+
+    e1 = nbrw.select(F.col(SRC).alias("first"), F.col(DST).alias("w"), "_w")
+    e2 = nbrw.select(F.col(SRC).alias("second"), F.col(DST).alias("w"))
+    wedges = (
+        e1.join(e2, "w")
+        .filter(F.col("first") < F.col("second"))
+        .groupBy("first", "second")
+        .agg(F.sum("_w").alias("isect_w"))
+    )
+    if vertex_pair is not None:
+        pairs = _renumber_pairs(graph, vertex_pair)
+        pairs = pairs.select(
+            F.least("first", "second").alias("first"),
+            F.greatest("first", "second").alias("second"),
+        ).distinct()
+        wedges = pairs.join(wedges, ["first", "second"], "left").fillna(
+            0.0, ["isect_w"]
+        )
+    out = (
+        wedges.join(
+            vol.withColumnRenamed("v", "first").withColumnRenamed("vol", "vol_first"),
+            "first",
+            "left",
+        )
+        .join(
+            vol.withColumnRenamed("v", "second").withColumnRenamed("vol", "vol_second"),
+            "second",
+            "left",
+        )
+        .fillna(0.0, ["vol_first", "vol_second"])
+    )
+    und.unpersist()
+    return out
+
+
+def jaccard_w(
+    graph: LinkGraph,
+    weights: DataFrame,
+    vertex_pair: DataFrame | None = None,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """Weighted Jaccard (``wjaccard.py:20``): Σ_∩ w / Σ_∪ w."""
+    st = _weighted_pair_stats(graph, weights, vertex_pair)
+    out = st.select(
+        "first",
+        "second",
+        _safe_div(
+            F.col("isect_w"),
+            F.col("vol_first") + F.col("vol_second") - F.col("isect_w"),
+        ).alias("jaccard_coeff"),
+    )
+    return _finish(graph, out, unrenumber)
+
+
+def overlap_w(
+    graph: LinkGraph,
+    weights: DataFrame,
+    vertex_pair: DataFrame | None = None,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """Weighted Overlap (``woverlap.py``): Σ_∩ w / min(vol_a, vol_b)."""
+    st = _weighted_pair_stats(graph, weights, vertex_pair)
+    out = st.select(
+        "first",
+        "second",
+        _safe_div(F.col("isect_w"), F.least("vol_first", "vol_second")).alias(
+            "overlap_coeff"
+        ),
+    )
+    return _finish(graph, out, unrenumber)
+
+
+def sorensen_w(
+    graph: LinkGraph,
+    weights: DataFrame,
+    vertex_pair: DataFrame | None = None,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """Weighted Sorensen (``wsorensen.py``): 2·Σ_∩ w / (vol_a + vol_b)."""
+    st = _weighted_pair_stats(graph, weights, vertex_pair)
+    out = st.select(
+        "first",
+        "second",
+        _safe_div(
+            F.lit(2.0) * F.col("isect_w"), F.col("vol_first") + F.col("vol_second")
+        ).alias("sorensen_coeff"),
+    )
+    return _finish(graph, out, unrenumber)
+
+
 def jaccard(
     graph: LinkGraph, vertex_pair: DataFrame | None = None, unrenumber: bool = True
 ) -> DataFrame:
@@ -79,9 +240,9 @@ def jaccard(
     out = st.select(
         "first",
         "second",
-        (
-            F.col("isect")
-            / (F.col("deg_first") + F.col("deg_second") - F.col("isect"))
+        _safe_div(
+            F.col("isect"),
+            F.col("deg_first") + F.col("deg_second") - F.col("isect"),
         ).alias("jaccard_coeff"),
     )
     return _finish(graph, out, unrenumber)
@@ -95,7 +256,9 @@ def overlap(
     out = st.select(
         "first",
         "second",
-        (F.col("isect") / F.least("deg_first", "deg_second")).alias("overlap_coeff"),
+        _safe_div(F.col("isect"), F.least("deg_first", "deg_second")).alias(
+            "overlap_coeff"
+        ),
     )
     return _finish(graph, out, unrenumber)
 
@@ -108,8 +271,8 @@ def sorensen(
     out = st.select(
         "first",
         "second",
-        (
-            F.lit(2.0) * F.col("isect") / (F.col("deg_first") + F.col("deg_second"))
+        _safe_div(
+            F.lit(2.0) * F.col("isect"), F.col("deg_first") + F.col("deg_second")
         ).alias("sorensen_coeff"),
     )
     return _finish(graph, out, unrenumber)

@@ -52,7 +52,9 @@ def induced_subgraph(
     v = vertices.select(F.col(vertices.columns[0]).alias("_v"))
     if graph.renumber_map is not None:
         m = graph.renumber_map.select(F.col("ext_id").alias("_v"), VID)
-        v = v.join(F.broadcast(m), "_v").select(F.col(VID).alias("_v"))
+        v = v.join(F.broadcast(m) if graph._map_small() else m, "_v").select(
+            F.col(VID).alias("_v")
+        )
     e = (
         graph.edges.join(
             v.withColumnRenamed("_v", SRC), SRC, "left_semi"
@@ -101,6 +103,65 @@ def ego_graph(
     return out
 
 
+def batched_ego_graphs(
+    graph: LinkGraph, seeds, radius: int = 1, unrenumber: bool = True
+) -> DataFrame:
+    """DF[seed, src, dst, weight] — the ``radius``-hop egonet around every
+    seed, all seeds in ONE batched frontier keyed by seed (reference
+    ``community/egonet.py:155-238`` returns a concatenated edge list +
+    seed offsets; the tidy ``seed`` column is the same information).
+
+    Unlike a loop of :func:`ego_graph` calls (O(seeds) Spark jobs), the
+    state here is [seed, v] and each hop is a single join+distinct, so the
+    whole batch costs O(radius) jobs regardless of seed count.
+    """
+    spark = graph.spark
+    if isinstance(seeds, DataFrame):
+        s = seeds.select(F.col(seeds.columns[0]).alias("_ext"))
+    else:
+        s = spark.createDataFrame([(int(v),) for v in seeds], "_ext LONG")
+    if graph.renumber_map is not None:
+        m = graph.renumber_map.select(F.col("ext_id").alias("_ext"), VID)
+        s = s.join(F.broadcast(m) if graph._map_small() else m, "_ext").select(
+            F.col(VID).alias("seed")
+        )
+    else:
+        s = s.select(F.col("_ext").cast("long").alias("seed"))
+
+    e = graph.edges.select(SRC, DST)
+    und = e.union(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+
+    reached = truncate_state(s.select("seed", F.col("seed").alias("v")))
+    frontier = reached
+    for _ in range(radius):
+        nxt = truncate_state(
+            und.join(frontier.withColumnRenamed("v", SRC), SRC)
+            .select("seed", F.col(DST).alias("v"))
+            .distinct()
+            .join(reached, ["seed", "v"], "left_anti")
+        )
+        if nxt.limit(1).count() == 0:
+            nxt.unpersist()
+            break
+        old = reached
+        reached = truncate_state(reached.union(nxt))
+        old.unpersist()
+        frontier = nxt
+
+    out = (
+        graph.edges.join(
+            reached.select("seed", F.col("v").alias(SRC)), SRC, "inner"
+        )
+        .join(reached.select("seed", F.col("v").alias(DST)), ["seed", DST], "inner")
+        .select("seed", SRC, DST, "weight")
+    )
+    if unrenumber:
+        out = graph.unrenumber(out, SRC)
+        out = graph.unrenumber(out, DST)
+        out = graph.unrenumber(out, "seed")
+    return out
+
+
 def select_random_vertices(
     graph: LinkGraph, num_vertices: int, seed: int = 42, unrenumber: bool = True
 ) -> DataFrame:
@@ -133,7 +194,9 @@ def uniform_neighbor_sample(
     frontier = start_list.select(F.col(start_list.columns[0]).alias(VID))
     if graph.renumber_map is not None:
         m = graph.renumber_map.select(F.col("ext_id").alias(VID), F.col(VID).alias("_i"))
-        frontier = frontier.join(F.broadcast(m), VID).select(F.col("_i").alias(VID))
+        frontier = frontier.join(
+            F.broadcast(m) if graph._map_small() else m, VID
+        ).select(F.col("_i").alias(VID))
 
     results = []
     for hop, fanout in enumerate(fanout_vals):

@@ -100,7 +100,11 @@ def bfs(
                 F.col(VID).alias("predecessor"), F.col("ext_id").alias("_p")
             )
             out = (
-                out.join(F.broadcast(m), "predecessor", "left")
+                out.join(
+                    F.broadcast(m) if graph._map_small() else m,
+                    "predecessor",
+                    "left",
+                )
                 .select(
                     "vertex",
                     "distance",
@@ -188,7 +192,11 @@ def sssp(
                 F.col(VID).alias("predecessor"), F.col("ext_id").alias("_p")
             )
             out = (
-                out.join(F.broadcast(m), "predecessor", "left")
+                out.join(
+                    F.broadcast(m) if graph._map_small() else m,
+                    "predecessor",
+                    "left",
+                )
                 .select(
                     "vertex",
                     "distance",
@@ -196,3 +204,82 @@ def sssp(
                 )
             )
     return out
+
+
+# --------------------------------------------------------------- path helpers
+# Reference: ``traversal/sssp.py:264-291`` (filter_unreachable),
+# ``sssp.py:313-389`` (shortest_path_length),
+# ``utilities/utils.py:69-211`` (get_traversed_path / _list).
+
+
+def filter_unreachable(df: DataFrame) -> DataFrame:
+    """Drop unreachable rows from a BFS/SSSP result (``sssp.py:264-291``).
+
+    Our traversals omit unreached vertices, but callers that left-join the
+    result against the full vertex set acquire sentinel rows — this removes
+    rows whose distance is null, infinite, or the integer max sentinel.
+    """
+    if "distance" not in df.columns:
+        raise KeyError("No distance column found in input data frame")
+    dt = dict(df.dtypes)["distance"]
+    c = F.col("distance")
+    if dt in ("int", "bigint", "smallint", "tinyint"):
+        max_val = {"tinyint": 127, "smallint": 32767, "int": 2**31 - 1, "bigint": 2**63 - 1}[dt]
+        return df.filter(c.isNotNull() & (c != F.lit(max_val)))
+    return df.filter(c.isNotNull() & ~F.isnan(c) & (c != F.lit(float("inf"))))
+
+
+def shortest_path_length(graph: LinkGraph, source, target=None):
+    """Distance from ``source`` to ``target`` (scalar) or to every
+    reachable vertex (DF[vertex, distance]) — ``sssp.py:313-389``."""
+    res = sssp(graph, source)
+    if target is None:
+        return res.select("vertex", "distance")
+    row = res.filter(F.col("vertex") == target).select("distance").collect()
+    if not row:
+        raise ValueError(f"Graph has no path from {source!r} to {target!r}")
+    return float(row[0][0])
+
+
+def _validate_traversal_result(df: DataFrame) -> None:
+    for col in ("vertex", "distance", "predecessor"):
+        if col not in df.columns:
+            raise ValueError(
+                "DataFrame does not appear to be a BFS or SSSP result - "
+                f"'{col}' column missing"
+            )
+
+
+def get_traversed_path(df: DataFrame, vertex_id) -> DataFrame:
+    """Rows of the BFS/SSSP result along the path root→``vertex_id``
+    (``utilities/utils.py:69-140``).  Driver-side predecessor walk — path
+    length is at most the graph diameter, so the loop is small; each step
+    is a point filter on the (small) traversal result."""
+    _validate_traversal_result(df)
+    rows = {r["vertex"]: r for r in df.collect()}
+    if vertex_id not in rows:
+        raise ValueError(f"The vertex {vertex_id!r} is not in the result set")
+    path = []
+    cur = vertex_id
+    while True:
+        path.append(rows[cur])
+        pred = rows[cur]["predecessor"]
+        if pred == -1 or pred is None or pred not in rows:
+            break
+        cur = pred
+    return df.sparkSession.createDataFrame(path, df.schema)
+
+
+def get_traversed_path_list(df: DataFrame, vertex_id) -> list:
+    """Ordered vertex ids from ``vertex_id`` back to the root
+    (``utilities/utils.py:143-211``)."""
+    _validate_traversal_result(df)
+    rows = {r["vertex"]: r["predecessor"] for r in df.collect()}
+    if vertex_id not in rows:
+        raise ValueError(f"The vertex {vertex_id!r} is not in the result set")
+    answer = [vertex_id]
+    pred = rows[vertex_id]
+    while pred != -1 and pred is not None and pred in rows:
+        answer.append(pred)
+        pred = rows[pred]
+    return answer

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, LinkGraph
+from ..graph import DST, SRC, VID, LinkGraph, truncate_state
 
 
 def triangle_count(graph: LinkGraph, unrenumber: bool = True) -> DataFrame:
@@ -41,6 +41,37 @@ def triangle_count(graph: LinkGraph, unrenumber: bool = True) -> DataFrame:
         .filter(F.col(SRC) < F.col(DST))
         .distinct()
     )
+
+    # 2-core prune (impl.cuh:238-273): peel degree<2 vertices before the
+    # expensive orientation/intersection — at web scale this drops the long
+    # tail of degree-1 leaves.  Partial pruning is still CORRECT (a pruned
+    # vertex can never be in a triangle), so the peel is capped: each round
+    # costs one E-row aggregation and pays for itself only while large
+    # leaf-fringes remain.
+    und = truncate_state(und, n_part, SRC)
+    for _ in range(5):
+        dg = (
+            und.select(F.col(SRC).alias("v"))
+            .union(und.select(F.col(DST).alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        low = dg.filter(F.col("d") < 2).select("v")
+        pruned = truncate_state(
+            und.join(low.withColumnRenamed("v", SRC), SRC, "left_anti")
+            .join(low.withColumnRenamed("v", DST), DST, "left_anti"),
+            n_part,
+            SRC,
+        )
+        before_cnt, after_cnt = und.count(), pruned.count()
+        if after_cnt == before_cnt:
+            pruned.unpersist()
+            break
+        und.unpersist()
+        und = pruned
+        # diminishing returns: stop once a round removes <5% of edges
+        if after_cnt > 0.95 * before_cnt:
+            break
 
     # degree on the simple undirected graph
     deg = (
@@ -102,6 +133,7 @@ def triangle_count(graph: LinkGraph, unrenumber: bool = True) -> DataFrame:
         .select("vertex", F.col("counts").cast("long").alias("counts"))
     )
     oriented.unpersist()
+    und.unpersist()
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
     return out

@@ -72,7 +72,7 @@ def weakly_connected_components(
         )
         new_labels = (
             labels.select(VID, F.col("label").alias("_old"))
-            .join(nbr_min, VID, "left")
+            .join(nbr_min.hint("shuffle_hash"), VID, "left")
             .select(
                 VID,
                 F.least(F.col("_old"), F.coalesce(F.col("nbr_label"), F.col("_old"))).alias("label"),

@@ -66,14 +66,26 @@ class PropertyGraph:
         type_name: str = "",
     ) -> None:
         """Accumulate a typed edge property frame
-        (reference ``property_graph.py:860-1100``). Edge ids are assigned
-        per-frame from a monotonic base + row ordinal."""
+        (reference ``property_graph.py:860-1100``). Every edge row gets a
+        dense ``_EDGE_ID_`` (reference parity: the edge-id column backs
+        ``get_edge_data(edge_ids=...)``), assigned deterministically by
+        content rank within the batch + a monotonic base per batch."""
+        from .graph import assign_dense_ids
+
         s, d = vertex_col_names
         frame = (
             df.withColumnRenamed(s, SRC_COL)
             .withColumnRenamed(d, DST_COL)
             .withColumn(TYPE_COL, F.lit(type_name))
         )
+        frame = assign_dense_ids(
+            frame, [F.col(SRC_COL), F.col(DST_COL)], EDGE_ID_COL
+        )
+        n = frame.count()
+        frame = frame.withColumn(
+            EDGE_ID_COL, F.col(EDGE_ID_COL) + F.lit(self._edge_id_counter)
+        )
+        self._edge_id_counter += n
         if type_name in self._edge_frames:
             self._edge_frames[type_name] = self._edge_frames[type_name].unionByName(
                 frame, allowMissingColumns=True
@@ -111,12 +123,17 @@ class PropertyGraph:
             df = df.select(VERTEX_COL, TYPE_COL, *columns)
         return df
 
-    def get_edge_data(self, types=None, columns=None) -> DataFrame | None:
+    def get_edge_data(self, edge_ids=None, types=None, columns=None) -> DataFrame | None:
+        """Edge property rows, optionally filtered by ``edge_ids`` and
+        ``types`` and projected to ``columns`` (reference
+        ``get_edge_data(edge_ids, types, columns)``)."""
         df = self._union_all(self._edge_frames, types)
         if df is None:
             return None
+        if edge_ids is not None:
+            df = df.filter(F.col(EDGE_ID_COL).isin([int(i) for i in edge_ids]))
         if columns is not None:
-            df = df.select(SRC_COL, DST_COL, TYPE_COL, *columns)
+            df = df.select(EDGE_ID_COL, SRC_COL, DST_COL, TYPE_COL, *columns)
         return df
 
     def get_num_vertices(self) -> int:
@@ -195,6 +212,76 @@ class PropertyGraph:
             "left",
         ).drop(SRC_COL, DST_COL)
 
+    # ------------------------------------------------- renumber by type
+    def renumber_vertices_by_type(self) -> DataFrame:
+        """Re-id vertices so each type occupies a contiguous dense range
+        (reference ``renumber_vertices_by_type``): ids ordered by
+        (type, old id) via range-partitioned prefix sums; vertex AND edge
+        frames are rewritten in place.  Returns DF[type, start, stop]."""
+        from .graph import assign_dense_ids
+
+        vd = self.get_vertex_data()
+        if vd is None:
+            raise ValueError("no vertex data")
+        distinct = vd.select(TYPE_COL, VERTEX_COL).distinct()
+        mapped = assign_dense_ids(
+            distinct,
+            [F.col(TYPE_COL).asc(), F.col(VERTEX_COL).asc()],
+            "_new_id",
+        ).persist()
+        mapped.count()
+        m = mapped.select(F.col(VERTEX_COL).alias("_old"), "_new_id")
+        self._vertex_frames = {
+            k: v.join(m, v[VERTEX_COL] == m["_old"])
+            .drop(VERTEX_COL, "_old")
+            .withColumnRenamed("_new_id", VERTEX_COL)
+            for k, v in self._vertex_frames.items()
+        }
+        ms = m.withColumnRenamed("_old", "_olds").withColumnRenamed("_new_id", "_news")
+        md = m.withColumnRenamed("_old", "_oldd").withColumnRenamed("_new_id", "_newd")
+        self._edge_frames = {
+            k: v.join(ms, v[SRC_COL] == ms["_olds"])
+            .join(md, v[DST_COL] == md["_oldd"])
+            .drop(SRC_COL, DST_COL, "_olds", "_oldd")
+            .withColumnRenamed("_news", SRC_COL)
+            .withColumnRenamed("_newd", DST_COL)
+            for k, v in self._edge_frames.items()
+        }
+        ranges = (
+            mapped.groupBy(TYPE_COL)
+            .agg(F.min("_new_id").alias("start"), F.max("_new_id").alias("stop"))
+            .orderBy(TYPE_COL)
+        )
+        return ranges
+
+    def renumber_edges_by_type(self) -> DataFrame:
+        """Re-id edges so each type occupies a contiguous dense range
+        (reference ``renumber_edges_by_type``). Returns DF[type, start, stop]."""
+        from .graph import assign_dense_ids
+
+        ed = self._union_all(self._edge_frames)
+        if ed is None:
+            raise ValueError("no edge data")
+        mapped = assign_dense_ids(
+            ed.select(TYPE_COL, EDGE_ID_COL).distinct(),
+            [F.col(TYPE_COL).asc(), F.col(EDGE_ID_COL).asc()],
+            "_new_id",
+        ).persist()
+        mapped.count()
+        m = mapped.select(F.col(EDGE_ID_COL).alias("_old"), "_new_id")
+        self._edge_frames = {
+            k: v.join(m, v[EDGE_ID_COL] == m["_old"])
+            .drop(EDGE_ID_COL, "_old")
+            .withColumnRenamed("_new_id", EDGE_ID_COL)
+            for k, v in self._edge_frames.items()
+        }
+        ranges = (
+            mapped.groupBy(TYPE_COL)
+            .agg(F.min("_new_id").alias("start"), F.max("_new_id").alias("stop"))
+            .orderBy(TYPE_COL)
+        )
+        return ranges
+
     def fillna_vertices(self, value) -> None:
         self._vertex_frames = {
             k: v.fillna(value) for k, v in self._vertex_frames.items()
@@ -221,12 +308,13 @@ def hypergraph(
     """
     cols = columns or [c for c in df.columns if c != row_id_col]
     if row_id_col not in df.columns:
-        from pyspark.sql.window import Window
+        # deterministic scalable row ids: rank under the content order via
+        # range-partitioned prefix sums (assign_dense_ids) — never a global
+        # single-partition window, never monotonically_increasing_id
+        # (nondeterministic under retries; see graph.py module docstring)
+        from .graph import assign_dense_ids
 
-        df = df.withColumn(
-            row_id_col,
-            F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1,
-        )
+        df = assign_dense_ids(df, [F.col(c) for c in cols], row_id_col)
     melted = None
     for c in cols:
         part = df.select(

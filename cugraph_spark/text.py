@@ -74,11 +74,21 @@ def vocab(tokens: DataFrame) -> DataFrame:
     return assign_dense_ids(distinct, [F.col("token").asc()], "tid")
 
 
-def token_ids(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """[doc_id, pos, tid] — tokens joined to the dense vocab."""
+def token_ids(
+    docs: DataFrame, text_col: str = "text", max_broadcast_vocab: int = 2_000_000
+) -> DataFrame:
+    """[doc_id, pos, tid] — tokens joined to the dense vocab.
+
+    The vocab is broadcast only while it is broadcast-SIZED: a web-corpus
+    vocabulary is not (VERDICT r01), so above ``max_broadcast_vocab``
+    distinct tokens the join falls back to a hash shuffle on the token key
+    (both sides hash-partitioned; Catalyst picks the strategy).
+    """
     toks = tokenize(docs, text_col)
     v = vocab(toks)
-    return toks.join(F.broadcast(v), "token").select("doc_id", "pos", "tid")
+    if v.count() <= max_broadcast_vocab:
+        v = F.broadcast(v)
+    return toks.join(v, "token").select("doc_id", "pos", "tid")
 
 
 def _mod_hash(col, a: int, b: int):

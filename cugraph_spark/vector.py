@@ -78,77 +78,113 @@ def cosine_topk(
     )
 
 
-def hyperplane_signatures(
+QUANT = 1_000_000  # component quantization scale — makes projections integer-exact
+
+
+def hyperplane_band_keys(
     emb: DataFrame,
-    n_planes: int = 16,
+    n_planes: int = 64,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """[vec_id, sig] — random-hyperplane (SimHash-for-vectors) signature.
+    """[vec_id, band, bkey] — random-hyperplane LSH band keys.
 
     Plane components are deterministic ±1 from modular arithmetic:
-    ``sign(i, j) = +1 if ((a·(i·dim + j) + b) mod p) is odd else −1`` —
-    reproducible in any engine, no stored plane matrix, no RNG state.
+    ``sign(pi, j) = +1 if ((a·(pi·dim + j) + b) mod p) is odd else −1``
+    (the stride is the ACTUAL embedding dimension, so any dim works), and
+    the projected components are quantized to integers
+    (``round(x·1e6)``) before summation — the per-plane projection is an
+    exact integer, so the signature is bit-identical in any engine
+    regardless of summation order (float folds are order-sensitive; an
+    oracle reproducing this in SQL would otherwise flip near-zero signs).
+
+    Scale: bucket-key space per band is ``2^(n_planes/n_bands)`` — size it
+    to the corpus (default 8 bits → 256 buckets/band; at billions of rows
+    raise ``n_planes`` so expected bucket occupancy stays bounded).
     """
+    if n_planes % n_bands != 0:
+        raise ValueError("n_planes must be divisible by n_bands")
+    rows_per_band = n_planes // n_bands
+    if rows_per_band > 62:
+        raise ValueError("rows per band must fit a signed 64-bit key")
     a_, b_ = 1299721, 15485863
     vec = F.col(vec_col).cast("array<double>")
     ed = emb.select(
-        F.col(id_col), F.posexplode(vec).alias("j", "x")
-    )
-    dim = F.size(vec)
-    # one row per (vec, plane): sum of ±x over components
+        F.col(id_col),
+        F.size(vec).cast("long").alias("_dim"),
+        F.posexplode(vec).alias("j", "x"),
+    ).withColumn("xq", F.round(F.col("x") * F.lit(QUANT)).cast("long"))
     planes = ed.select(
         id_col,
+        "_dim",
         "j",
-        "x",
+        "xq",
         F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("pi"),
     )
-    idx = (F.col("pi") * F.lit(4096) + F.col("j")).cast("long")
+    idx = (F.col("pi") * F.col("_dim") + F.col("j")).cast("long")
     sgn = F.when(
-        ((F.lit(a_) * (idx % F.lit(P)) + F.lit(b_)) % F.lit(P)) % 2 == 1, F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
+        ((F.lit(a_) * idx + F.lit(b_)) % F.lit(P)) % 2 == 1, F.lit(1).cast("long")
+    ).otherwise(F.lit(-1).cast("long"))
     proj = (
-        planes.withColumn("_t", sgn * F.col("x"))
+        planes.withColumn("_t", sgn * F.col("xq"))
         .groupBy(id_col, "pi")
         .agg(F.sum("_t").alias("dot"))
     )
-    bit = F.when(F.col("dot") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    bit = F.when(F.col("dot") > 0, F.lit(1).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    band = (F.col("pi") / F.lit(rows_per_band)).cast("int").alias("band")
     # shiftleft's python wrapper wants an int literal; the SQL form takes a col
-    pow2 = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pi AS INT))")
+    pow2 = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pi % {rows_per_band} AS INT))"
+    )
     return (
-        proj.withColumn("_b", bit * pow2)
-        .groupBy(id_col)
-        .agg(F.sum("_b").alias("sig"))
+        proj.select(id_col, band, (bit * pow2).alias("_b"))
+        .groupBy(id_col, "band")
+        .agg(F.sum("_b").alias("bkey"))
     )
 
 
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    probe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
     """[query_id, neighbor_id, cosine, rank] — approximate top-k: candidates
-    share ≥1 signature band; exact cosine only within buckets. The
-    cross-join of :func:`cosine_topk` is replaced by a bucket equi-join —
-    the 100 TB path (candidate count scales with bucket occupancy, not V²)."""
+    share ≥1 signature band (exactly, or within ``probe_bits`` flipped bits
+    on the query side — multi-probe); exact cosine only within buckets.
+
+    The cross-join of :func:`cosine_topk` is replaced by a bucket equi-join
+    — the 100 TB path: candidate count is O(N · bucket_occupancy ·
+    (1 + rows_per_band·probe_bits)), never N².  Band-key space is
+    ``2^(n_planes/n_bands)`` per band (default 256); raise ``n_planes``
+    with corpus size so occupancy stays bounded, and keep
+    :func:`cosine_topk` as the exact recall oracle on samples.
+    """
     rows_per_band = n_planes // n_bands
-    sig = hyperplane_signatures(emb, n_planes, id_col, vec_col)
-    mask = (1 << rows_per_band) - 1
-    bands = None
-    for bi in range(n_bands):
-        part = sig.select(
-            id_col,
-            F.lit(bi).alias("band"),
-            F.shiftright(F.col("sig"), bi * rows_per_band)
-            .bitwiseAND(F.lit(mask))
-            .alias("bkey"),
+    bands = hyperplane_band_keys(emb, n_planes, n_bands, id_col, vec_col)
+    if probe_bits >= 1:
+        # multi-probe: the query side also looks in buckets at Hamming
+        # distance 1 (flip each of the rows_per_band key bits in turn)
+        flips = F.array(
+            F.lit(0), *[F.lit(1 << b) for b in range(rows_per_band)]
         )
-        bands = part if bands is None else bands.union(part)
-    l = bands.select(F.col(id_col).alias("query_id"), "band", "bkey")
+        l = bands.select(
+            F.col(id_col).alias("query_id"),
+            "band",
+            F.explode(flips).alias("_f"),
+            "bkey",
+        ).select(
+            "query_id", "band", F.col("bkey").bitwiseXOR(F.col("_f")).alias("bkey")
+        )
+    else:
+        l = bands.select(F.col(id_col).alias("query_id"), "band", "bkey")
     r = bands.select(F.col(id_col).alias("neighbor_id"), "band", "bkey")
     cand = (
         l.join(r, ["band", "bkey"])

@@ -3,19 +3,28 @@
 No real cluster exists in this sandbox, so per the driver instruction we
 run the SAME PageRank job at two parallelism levels — local[8] and
 local[32] (1× vs 4× cores) — on the SAME input, and report throughput at
-both plus scaling efficiency. Each timed run is a fresh subprocess (a
+both plus scaling efficiency.  Each timed run is a fresh subprocess (a
 JVM's master can't change in-process).
+
+Noise discipline: this sandbox shows multi-second ambient variance
+(co-tenant load, GC), so the two legs are INTERLEAVED (lo, hi, lo, hi, …)
+rather than run back-to-back — slow ambient drift then hits both legs
+equally — and the per-leg statistic is the median of per-iteration wall
+times pooled across repeats (``PageRankResult.iter_secs``), after
+dropping each run's first two warm-up iterations.
 
 The input is the reference's own benchmark workload: R-MAT with Graph500
 parameters (``benchmarks/cugraph/pytest-based/bench_algos.py:66-75``) at
-``--scale`` (default 21, edgefactor 16 ≈ 33M edges) — big enough that
-per-iteration compute dominates scheduling overhead, which is the regime
-the 1000-executor target actually lives in. The edge table is GENERATED
-ONCE to parquet and both legs read the identical file (generation is not
-the thing under test). PageRank runs a fixed 10 supersteps (tol=0) so
-both runs do identical work.
+``--scale`` (default 21, edgefactor 16).  The edge table is GENERATED
+ONCE to parquet and every leg reads the identical file.  The graph build
+(renumber + dedup) is also done ONCE and its canonical internal edge
+table written to parquet — a production deployment builds once and
+iterates many times, so the scaling metric is the per-superstep
+throughput; each leg re-partitions the prebuilt edges to its own core
+count (partitioning discipline is exactly what is under test).  PageRank
+runs a fixed iteration count (tol=0) so every leg does identical work.
 
-Usage: python scripts/scaling_bench.py [sf_dir] [scale] [n_cores] [4n_cores]
+Usage: python scripts/scaling_bench.py [sf_dir] [scale] [n_cores] [4n_cores] [repeats]
 Appends a markdown section to BENCH.md and prints the JSON result.
 """
 
@@ -23,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -34,11 +44,14 @@ import sys
 sys.path.insert(0, {repo!r})
 from cugraph_spark.session import get_spark
 from cugraph_spark.datagen import rmat_edges
-scale = int(sys.argv[1]); path = sys.argv[2]
-spark = get_spark("rmat_gen", master="local[32]", shuffle_partitions=32,
+from cugraph_spark.graph import LinkGraph
+scale = int(sys.argv[1]); path = sys.argv[2]; built = sys.argv[3]
+spark = get_spark("rmat_gen", master="local[32]", shuffle_partitions=64,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 rmat_edges(spark, scale=scale, num_edges=16 * (1 << scale), seed=42) \
     .write.mode("overwrite").parquet(path)
+g = LinkGraph.from_edges(spark.read.parquet(path), directed=True)
+g.edges.write.mode("overwrite").parquet(built)
 print("GENERATED")
 spark.stop()
 """
@@ -50,36 +63,22 @@ from cugraph_spark.session import get_spark
 from cugraph_spark.graph import LinkGraph
 from cugraph_spark.operators import pagerank
 
-cores = int(sys.argv[1]); path = sys.argv[2]
-warmup_chunks, chunks, chunk_iters = 2, 6, 5
-spark = get_spark("scaling_bench", master=f"local[{{cores}}]", shuffle_partitions=cores,
+cores = int(sys.argv[1]); built = sys.argv[2]; iters = int(sys.argv[3])
+spark = get_spark("scaling_bench", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores,
                   extra_conf={{"spark.ui.showConsoleProgress": "false",
-                              "spark.cleaner.periodicGC.interval": "20s",
                               "spark.driver.memory": "32g"}})
 t0 = time.time()
-g = LinkGraph.from_edges(spark.read.parquet(path), directed=True)
+g = LinkGraph.from_edges(spark.read.parquet(built), directed=True,
+                         renumber=False, dedup=False)
 E = g.number_of_edges()
-build_s = time.time() - t0
-# chunked measurement with untimed warmup: JIT/codegen warm-up dominates
-# the first supersteps, and single-JVM runs show multi-second GC/VM noise
-# spikes — the MEDIAN chunk is the steady-state throughput estimate
-times = []
-for c in range(warmup_chunks + chunks):
-    t0 = time.time()
-    res = pagerank(g, alpha=0.85, max_iter=chunk_iters, tol=0.0, unrenumber=False,
-                   fail_on_nonconvergence=False)
-    res.ranks.count()
-    if c >= warmup_chunks:
-        times.append(time.time() - t0)
-    res.unpersist()
-times.sort()
-med = times[len(times) // 2]
+load_s = time.time() - t0
+res = pagerank(g, alpha=0.85, max_iter=iters, tol=0.0, unrenumber=False,
+               fail_on_nonconvergence=False)
+res.ranks.count()
 print("RESULT " + json.dumps({{
-    "cores": cores, "edges": E, "build_sec": round(build_s, 3),
-    "chunk_iters": chunk_iters,
-    "chunk_secs": [round(t, 2) for t in times],
-    "median_sec_per_iter": round(med / chunk_iters, 3),
-    "edges_per_sec": round(E * chunk_iters / med, 1),
+    "cores": cores, "edges": E, "load_sec": round(load_s, 2),
+    "iter_secs": [round(t, 3) for t in res.iter_secs],
 }}))
 spark.stop()
 """
@@ -93,8 +92,8 @@ def _sub(code: str, *args: str) -> str:
     return out.stdout + "\n<<stderr>>\n" + out.stderr
 
 
-def run(cores: int, path: str) -> dict:
-    out = _sub(RUNNER.format(repo=REPO), str(cores), path)
+def run_leg(cores: int, built: str, iters: int) -> dict:
+    out = _sub(RUNNER.format(repo=REPO), str(cores), built, str(iters))
     for line in out.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -105,15 +104,44 @@ def main():
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 21
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    iters = 10
+    warmup = 2  # per-run iterations dropped (JIT/codegen/cache-fill warm-up)
     path = os.path.join(tempfile.gettempdir(), f"rmat_s{scale}.parquet")
-    if not os.path.exists(path):
-        out = _sub(GEN.format(repo=REPO), str(scale), path)
+    built = os.path.join(tempfile.gettempdir(), f"rmat_s{scale}_built.parquet")
+    if not (os.path.exists(path) and os.path.exists(built)):
+        out = _sub(GEN.format(repo=REPO), str(scale), path, built)
         if "GENERATED" not in out:
             raise RuntimeError(f"generation failed:\n{out[-3000:]}")
-    r8 = run(n_lo, path)
-    r32 = run(n_hi, path)
-    eff = (r32["edges_per_sec"] / r8["edges_per_sec"]) / 4.0
-    result = {"n_cores": r8, "4n_cores": r32, "scaling_efficiency": round(eff, 3)}
+
+    samples = {n_lo: [], n_hi: []}
+    loads = {n_lo: [], n_hi: []}
+    edges = None
+    runs = []
+    for _ in range(repeats):
+        for cores in (n_lo, n_hi):  # interleaved: ambient drift hits both
+            r = run_leg(cores, built, iters)
+            edges = r["edges"]
+            samples[cores].extend(r["iter_secs"][warmup:])
+            loads[cores].append(r["load_sec"])
+            runs.append({"cores": cores, "iter_secs": r["iter_secs"]})
+
+    med = {c: statistics.median(samples[c]) for c in samples}
+    eps = {c: edges / med[c] for c in samples}
+    eff = (eps[n_hi] / eps[n_lo]) / (n_hi / n_lo)
+    result = {
+        "scale": scale,
+        "edges": edges,
+        "iters_per_run": iters,
+        "repeats": repeats,
+        "n_cores": {"cores": n_lo, "median_sec_per_iter": round(med[n_lo], 3),
+                     "edges_per_sec": round(eps[n_lo], 1),
+                     "samples": sorted(round(s, 2) for s in samples[n_lo])},
+        "4n_cores": {"cores": n_hi, "median_sec_per_iter": round(med[n_hi], 3),
+                      "edges_per_sec": round(eps[n_hi], 1),
+                      "samples": sorted(round(s, 2) for s in samples[n_hi])},
+        "scaling_efficiency": round(eff, 3),
+    }
     print(json.dumps(result))
 
     md = f"""
@@ -121,15 +149,17 @@ def main():
 
 Same PageRank job — R-MAT scale {scale}, edgefactor 16 (Graph500 params
 a/b/c = 0.57/0.19/0.19, the reference's own benchmark workload), generated
-once to parquet, 2 untimed warm-up chunks then 6 timed chunks of 5
-supersteps (median chunk = steady state; single-JVM runs show occasional
-multi-second GC/VM noise spikes) — at two parallelism levels, fresh JVM
-each:
+and graph-built ONCE to parquet (build amortizes across the many analytic
+runs of a deployment; each leg re-partitions to its own core count).
+Legs are INTERLEAVED ({n_lo}, {n_hi}) × {repeats} fresh JVMs so ambient
+sandbox noise hits both equally; per-leg statistic = median per-iteration
+wall time pooled over {repeats} runs × {iters - warmup} post-warm-up
+supersteps:
 
-| cores | edges | build sec | median sec/iter | edges/sec | chunk secs (sorted) |
-|---|---|---|---|---|---|
-| {r8["cores"]} (N) | {r8['edges']} | {r8['build_sec']} | {r8['median_sec_per_iter']} | {r8['edges_per_sec']} | {r8['chunk_secs']} |
-| {r32["cores"]} (4N) | {r32['edges']} | {r32['build_sec']} | {r32['median_sec_per_iter']} | {r32['edges_per_sec']} | {r32['chunk_secs']} |
+| cores | edges | median sec/iter | edges/sec | pooled iteration samples (sorted, sec) |
+|---|---|---|---|---|
+| {n_lo} (N) | {edges} | {result['n_cores']['median_sec_per_iter']} | {result['n_cores']['edges_per_sec']} | {result['n_cores']['samples']} |
+| {n_hi} (4N) | {edges} | {result['4n_cores']['median_sec_per_iter']} | {result['4n_cores']['edges_per_sec']} | {result['4n_cores']['samples']} |
 
 **Scaling efficiency (throughput ratio / 4): {round(eff, 3)}**
 (north-rule target ≥ 0.8 between cluster sizes; local-mode cores are the

@@ -133,8 +133,11 @@ def test_hypergraph_builder(spark):
     )
     hg = hypergraph(df)
     edges = {(r.src, r.dst) for r in hg["edges"].collect()}
-    assert ("row::1", "u::b") in edges
-    assert ("row::1", "w::x") in edges
+    # row ids are the rank under content order (deterministic at any
+    # parallelism — VERDICT r01 #2 replaced the insertion-order global
+    # window): ("a","x")→0, ("a","y")→1, ("b","x")→2
+    assert ("row::2", "u::b") in edges
+    assert ("row::2", "w::x") in edges
     # every row node connects to one value node per column
     assert len(edges) == 6
     kinds = {r.kind for r in hg["nodes"].collect()}

@@ -1,0 +1,275 @@
+"""Round-2 operators: Leiden, ECG, edge betweenness, weighted similarity,
+path helpers, batched egonets, multi-column renumbering, similarity
+vertex_pair semantics, SCC edge cases."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+from conftest import karate_edges
+from pyspark.sql import functions as F
+
+from cugraph_spark.graph import LinkGraph
+from cugraph_spark.operators import (
+    batched_ego_graphs,
+    ecg,
+    edge_betweenness_centrality,
+    ego_graph,
+    get_traversed_path,
+    get_traversed_path_list,
+    jaccard,
+    jaccard_w,
+    leiden,
+    louvain,
+    overlap_w,
+    shortest_path_length,
+    sorensen_w,
+    sssp,
+    strongly_connected_components,
+)
+
+
+@pytest.fixture(scope="module")
+def karate_graph(spark):
+    rows = [(int(s), int(d)) for s, d in karate_edges()]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG")
+    g = LinkGraph.from_edges(df, directed=True, renumber=True)
+    yield g
+    g.unpersist()
+
+
+@pytest.fixture(scope="module")
+def karate_undirected(spark):
+    rows = [(int(s), int(d)) for s, d in karate_edges()]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG")
+    g = LinkGraph.from_edges(df, directed=False, renumber=True)
+    yield g
+    g.unpersist()
+
+
+# ------------------------------------------------------------------- Leiden
+def test_leiden_matches_or_beats_louvain(karate_undirected):
+    """Reference test_leiden.py contract: Leiden modularity >= Louvain's."""
+    out_lv, q_lv = louvain(karate_undirected)
+    out_ld, q_ld = leiden(karate_undirected)
+    assert q_ld >= q_lv - 1e-9, (q_ld, q_lv)
+    assert q_ld > 0.35
+    # valid partition over all 34 vertices
+    rows = out_ld.collect()
+    assert len(rows) == 34
+    parts = {r.partition for r in rows}
+    assert 1 < len(parts) < 34
+
+
+# ---------------------------------------------------------------------- ECG
+def test_ecg_partition_quality(karate_undirected):
+    out, q = ecg(karate_undirected, ensemble_size=8)
+    rows = out.collect()
+    assert len(rows) == 34
+    # ECG on karate should find a community structure comparable to Louvain
+    m_ours = {r.vertex: r.partition for r in rows}
+    g = nx.karate_club_graph()
+    comms = {}
+    for v, c in m_ours.items():
+        comms.setdefault(c, set()).add(v)
+    q_nx = nx.community.modularity(g, list(comms.values()))
+    assert q_nx > 0.3, q_nx
+
+
+# ------------------------------------------------------- edge betweenness
+def test_edge_betweenness_vs_networkx(karate_graph):
+    got = {
+        (r.src, r.dst): r.betweenness_centrality
+        for r in edge_betweenness_centrality(karate_graph, normalized=True).collect()
+    }
+    want = nx.edge_betweenness_centrality(
+        nx.karate_club_graph().to_directed(), normalized=True
+    )
+    assert len(got) == len(want)
+    for e, w in want.items():
+        assert abs(got[e] - w) < 1e-9, (e, got[e], w)
+
+
+# ------------------------------------------------- weighted similarity
+def test_weighted_jaccard_manual(spark):
+    # square 0-1-2-3-0 plus chord 0-2; vertex weights w(v) = v + 1
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG")
+    g = LinkGraph.from_edges(df, directed=False, renumber=True)
+    weights = spark.createDataFrame(
+        [(v, float(v + 1)) for v in range(4)], "vertex LONG, weight DOUBLE"
+    )
+    pairs = spark.createDataFrame([(1, 3)], "first LONG, second LONG")
+    # N(1) = {0,2}, N(3) = {0,2}: isect_w = w(0)+w(2) = 4, union volume = 4
+    jw = jaccard_w(g, weights, vertex_pair=pairs).collect()
+    assert len(jw) == 1 and abs(jw[0].jaccard_coeff - 1.0) < 1e-9
+    ow = overlap_w(g, weights, vertex_pair=pairs).collect()
+    assert abs(ow[0].overlap_coeff - 1.0) < 1e-9
+    sw = sorensen_w(g, weights, vertex_pair=pairs).collect()
+    assert abs(sw[0].sorensen_coeff - 1.0) < 1e-9
+    # asymmetric case: pair (0, 1); N(0) = {1,2,3} vol=2+3+4=9, N(1)={0,2}
+    # vol=1+3=4, isect = {2} w=3, union = 9+4-3=10
+    pairs2 = spark.createDataFrame([(0, 1)], "first LONG, second LONG")
+    jw2 = jaccard_w(g, weights, vertex_pair=pairs2).collect()
+    assert abs(jw2[0].jaccard_coeff - 0.3) < 1e-9
+    ow2 = overlap_w(g, weights, vertex_pair=pairs2).collect()
+    assert abs(ow2[0].overlap_coeff - 0.75) < 1e-9
+    sw2 = sorensen_w(g, weights, vertex_pair=pairs2).collect()
+    assert abs(sw2[0].sorensen_coeff - 6.0 / 13.0) < 1e-9
+    g.unpersist()
+
+
+def test_similarity_vertex_pair_external_ids(spark):
+    """ADVICE r01: vertex_pair is EXTERNAL ids; renumbered graphs must map
+    them, and zero-neighbor pairs must survive with coefficient 0."""
+    # external ids deliberately non-contiguous so renumbering matters
+    rows = [(100, 200), (200, 100), (200, 300), (300, 200), (100, 300), (300, 100)]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG")
+    df = df.union(spark.createDataFrame([(400, 500), (500, 400)], "src LONG, dst LONG"))
+    g = LinkGraph.from_edges(df, directed=False, renumber=True)
+    pairs = spark.createDataFrame(
+        [(100, 200), (100, 400)], "first LONG, second LONG"
+    )
+    out = {(r.first, r.second): r.jaccard_coeff for r in jaccard(g, pairs).collect()}
+    # N(100)={200,300}, N(200)={100,300}: isect {300}=1, union=3 → 1/3
+    assert abs(out[(100, 200)] - 1.0 / 3.0) < 1e-9
+    # N(100)={200,300}, N(400)={500}: disjoint → 0, pair must be present
+    assert out[(100, 400)] == 0.0
+    g.unpersist()
+
+
+# ------------------------------------------------------------ path helpers
+def test_path_helpers(karate_graph):
+    res = sssp(karate_graph, 0)
+    # distances match networkx
+    want = nx.single_source_shortest_path_length(nx.karate_club_graph(), 0)
+    assert shortest_path_length(karate_graph, 0, 33) == float(want[33])
+    pl = get_traversed_path_list(res, 33)
+    assert pl[0] == 33 and pl[-1] == 0
+    assert len(pl) == int(want[33]) + 1
+    pdf = get_traversed_path(res, 33)
+    rows = pdf.collect()
+    assert len(rows) == len(pl)
+    with pytest.raises(ValueError):
+        get_traversed_path_list(res.filter(F.col("vertex") < 0), 33)
+
+
+# -------------------------------------------------------- batched egonets
+def test_batched_ego_graphs_matches_per_seed(karate_graph):
+    seeds = [0, 5, 33]
+    batched = batched_ego_graphs(karate_graph, seeds, radius=1)
+    got = {
+        s: {(r.src, r.dst) for r in batched.filter(F.col("seed") == s).collect()}
+        for s in seeds
+    }
+    for s in seeds:
+        single = {(r.src, r.dst) for r in ego_graph(karate_graph, s, radius=1).collect()}
+        assert got[s] == single, s
+
+
+# -------------------------------------------------- multi-column renumber
+def test_multi_column_renumbering(spark):
+    rows = [(int(s), int(d)) for s, d in karate_edges()]
+    single = spark.createDataFrame(rows, "src LONG, dst LONG")
+    multi = spark.createDataFrame(
+        [
+            (f"host{s % 5}", f"path{s}", f"host{d % 5}", f"path{d}")
+            for s, d in rows
+        ],
+        "sh STRING, sp STRING, dh STRING, dp STRING",
+    )
+    g1 = LinkGraph.from_edges(single, directed=True, renumber=True)
+    g2 = LinkGraph.from_edges(
+        multi, src=["sh", "sp"], dst=["dh", "dp"], directed=True, renumber=True
+    )
+    assert g2.number_of_vertices() == g1.number_of_vertices()
+    assert g2.number_of_edges() == g1.number_of_edges()
+    # degree multiset identical (the key encoding can't change structure)
+    d1 = sorted(
+        (r.in_degree, r.out_degree) for r in g1.degrees().collect()
+    )
+    d2 = sorted(
+        (r.in_degree, r.out_degree) for r in g2.degrees().collect()
+    )
+    assert d1 == d2
+    # unrenumber yields struct keys; expand splits them back into columns
+    el = g2.view_edge_list()
+    expanded = g2.expand_ext_id(el, "src", ["sh", "sp"])
+    expanded = g2.expand_ext_id(expanded, "dst", ["dh", "dp"])
+    got = {
+        (r.sh, r.sp, r.dh, r.dp) for r in expanded.collect()
+    }
+    want = {(f"host{s % 5}", f"path{s}", f"host{d % 5}", f"path{d}") for s, d in rows}
+    assert got == want
+    g1.unpersist()
+    g2.unpersist()
+
+
+# ------------------------------------------------ observe-fusion job counts
+def test_katz_one_materialization_job_per_iteration(spark, karate_graph):
+    """VERDICT r01 #5: the convergence delta must ride the materialization
+    via observe — one job per iteration, not two.  Counted with the
+    status tracker over a job group."""
+    from cugraph_spark.operators import katz_centrality
+
+    karate_graph.number_of_vertices()  # pre-cache the V-count job
+    sc = spark.sparkContext
+    sc.setJobGroup("katz_fuse_test", "job-count regression")
+    try:
+        out = katz_centrality(
+            karate_graph, alpha=0.05, beta=1.0, max_iter=8, tol=0.0
+        )
+        out.count()
+        jobs = len(sc.statusTracker().getJobIdsForGroup("katz_fuse_test"))
+    finally:
+        sc.setJobGroup("", "")
+    # 8 iteration materializations + initial-state truncate + final L2
+    # collect + result count (+1 slack); the unfused loop cost 2/iteration
+    assert jobs <= 8 + 4, jobs
+
+
+# ----------------------------------------------------- PropertyGraph round 2
+def test_property_graph_edge_ids_and_renumber_by_type(spark):
+    from cugraph_spark.property_graph import PropertyGraph
+
+    pg = PropertyGraph(spark)
+    people = spark.createDataFrame(
+        [(10, "ann"), (20, "bob"), (30, "cas")], "pid LONG, name STRING"
+    )
+    follows = spark.createDataFrame(
+        [(10, 20, 5.0), (20, 30, 1.0)], "a LONG, b LONG, strength DOUBLE"
+    )
+    likes = spark.createDataFrame([(30, 10, 2.0)], "a LONG, b LONG, strength DOUBLE")
+    pg.add_vertex_data(people, "pid", type_name="person")
+    pg.add_edge_data(follows, ("a", "b"), type_name="follows")
+    pg.add_edge_data(likes, ("a", "b"), type_name="likes")
+
+    ed = pg.get_edge_data()
+    ids = sorted(r["_EDGE_ID_"] for r in ed.collect())
+    assert ids == [0, 1, 2]  # dense, unique across typed batches
+    picked = pg.get_edge_data(edge_ids=[ids[0]])
+    assert picked.count() == 1
+
+    ranges = {r["_TYPE_"]: (r.start, r.stop) for r in pg.renumber_edges_by_type().collect()}
+    assert set(ranges) == {"follows", "likes"}
+    spans = sorted(ranges.values())
+    assert spans[0][0] == 0 and spans[-1][1] == 2  # contiguous overall
+
+    vr = {r["_TYPE_"]: (r.start, r.stop) for r in pg.renumber_vertices_by_type().collect()}
+    assert vr == {"person": (0, 2)}
+    # edge endpoints rewritten into the new dense vertex space
+    ends = set()
+    for r in pg.get_edge_data().collect():
+        ends.add(r["_SRC_"])
+        ends.add(r["_DST_"])
+    assert ends <= {0, 1, 2}
+
+
+# ---------------------------------------------------------------- SCC edges
+def test_scc_empty_graph(spark):
+    df = spark.createDataFrame([], "src LONG, dst LONG")
+    g = LinkGraph.from_edges(df, directed=True, renumber=True)
+    out = strongly_connected_components(g)
+    assert out.count() == 0
+    g.unpersist()

@@ -132,6 +132,62 @@ def test_lsh_topk_recall(emb):
     assert 1 in by_q.get(0, []) or 0 in by_q.get(1, [])
 
 
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Realistic ANN workload: 10 tight clusters in 64-dim — each vector's
+    true nearest neighbors are its cluster mates (cosine ≈ 0.9+)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(200):
+        c = centers[i % 10]
+        v = c + 0.15 * rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_lsh_topk_high_recall_on_clustered(clustered_emb):
+    """On cluster-structured data (the case LSH is for) the default
+    64-plane / 8-band / multi-probe config must recover ≥0.9 of the exact
+    top-k — the VERDICT r01 gate for the re-engineered bucket scheme."""
+    k = 5
+    exact = vec.cosine_topk(clustered_emb, k=k).collect()
+    approx = vec.lsh_topk(clustered_emb, k=k).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.9, hits / total
+
+
+def test_lsh_candidate_count_is_bucketed_not_quadratic(clustered_emb):
+    """Candidate pairs must scale with bucket occupancy, not N²: with 200
+    clustered vectors, N² = 39,800 ordered pairs; clustered data collapses
+    into ~10 clusters so candidates ≈ N · cluster_size · small_factor."""
+    n = clustered_emb.count()
+    bands = vec.hyperplane_band_keys(clustered_emb)
+    # reconstruct the candidate set exactly as lsh_topk does (probe_bits=1)
+    rows_per_band = 64 // 8
+    flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(rows_per_band)])
+    l = bands.select(
+        F.col("vec_id").alias("q"), "band", F.explode(flips).alias("_f"), "bkey"
+    ).select("q", "band", F.col("bkey").bitwiseXOR("_f").alias("bkey"))
+    r = bands.select(F.col("vec_id").alias("nb"), "band", "bkey")
+    cand = (
+        l.join(r, ["band", "bkey"])
+        .filter(F.col("q") != F.col("nb"))
+        .select("q", "nb")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.5 * n * (n - 1), cand  # far below all-pairs
+    assert cand > 0  # but buckets are actually joining
+
+
 def test_multimodal_image_features(spark):
     assets = mm.synthetic_assets(spark, 8)
     out = mm.image_features(assets).collect()
