@@ -116,7 +116,9 @@ def _q_degrees(spark, sf_dir):
 
 def _q_pagerank(spark, sf_dir):
     g = _graph(spark, sf_dir)
-    res = pagerank(g, alpha=0.85, max_iter=PR_ITERS, tol=0.0)
+    # fuse=2: the driver oracle then certifies the FUSED execution path
+    # value-exactly against the per-iteration DuckDB simulation
+    res = pagerank(g, alpha=0.85, max_iter=PR_ITERS, tol=0.0, fuse=2)
     return res.ranks.select(
         F.col("vertex").cast("long"), F.round("pagerank", 6).alias("pagerank")
     )
@@ -618,7 +620,8 @@ def _sql_embedding_lsh_topk(
     rows = n_planes // n_bands
     flips = [0] + [1 << b for b in range(rows)]
     q = vec.QUANT
-    a_, b_ = 1299721, 15485863
+    a1, b1 = 1299721, 15485863
+    a2, b2 = 48271, 11
     p = vec.P
     return f"""
 WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -627,7 +630,8 @@ comp AS (SELECT id, generate_subscripts(v, 1) - 1 AS j,
                 len(v) AS dim
          FROM base),
 proj AS (SELECT id, t.pi AS pi,
-                SUM(CASE WHEN (({a_} * (t.pi * dim + j) + {b_}) % {p}) % 2 = 1
+                SUM(CASE WHEN (({a2} * (({a1} * (t.pi * dim + j) + {b1}) % {p})
+                               + {b2}) % {p}) % 2 = 1
                     THEN xq ELSE -xq END) AS dot
          FROM comp CROSS JOIN range({n_planes}) t(pi)
          GROUP BY id, t.pi),

@@ -60,7 +60,7 @@ def main():
 
     # ---- pagerank to 1e-6 (north-rule headline) ---------------------------
     t0 = time.time()
-    res = pagerank(g, alpha=0.85, max_iter=300, tol=1e-6, unrenumber=False)
+    res = pagerank(g, alpha=0.85, max_iter=300, tol=1e-6, unrenumber=False, fuse=4)
     res.ranks.count()
     dt = time.time() - t0
     timings["pagerank"] = round(dt, 3)

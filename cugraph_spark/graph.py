@@ -64,39 +64,52 @@ def static_plan(spark: SparkSession):
 def truncate_state(
     df: DataFrame, num_partitions: int | None = None, *key_cols: str
 ) -> DataFrame:
-    """Materialize per-iteration vertex state: repartition (optional) →
-    ``localCheckpoint`` (cuts lineage so plans stay flat) → ``persist`` +
-    count.
+    """Materialize per-iteration vertex state with FLAT statistics:
+    ``localCheckpoint`` (cuts lineage) → rebuild the DataFrame directly
+    over the checkpointed row RDD (resets plan statistics) → repartition
+    (optional) → ``persist``.  Callers must ``unpersist()`` the previous
+    state.
 
-    The persist step is NOT redundant: Spark 4's ``localCheckpoint``
-    propagates the origin plan's statistics into the resulting LogicalRDD,
-    and an iterative plan that references the previous state more than once
-    (HITS' hub⋈auth join, WCC's pointer-jumping self-join) SQUARES the
-    sizeInBytes estimate every superstep — the BigInt doubles in digit
-    count per iteration until Catalyst spends minutes in BigInteger
-    multiplication (observed: 10M-digit stats by iteration ~20). Wrapping
-    the checkpoint in a materialized cache makes downstream plans read the
-    InMemoryRelation's ACTUAL byte size instead, resetting the estimate
-    each iteration. Callers must ``unpersist()`` the previous state.
+    Why the rebuild: Spark 4's ``localCheckpoint`` propagates the origin
+    plan's sizeInBytes ESTIMATE into the resulting LogicalRDD, and an
+    iterative plan that references the previous state k times raises the
+    estimate to the k-th power every superstep — the BigInteger doubles in
+    digit count per iteration until Catalyst spends minutes in BigInteger
+    multiplication (observed: HITS/WCC at ~iteration 20 in round 1, Leiden
+    refinement at ~round 17 in round 2).  Re-wrapping the checkpointed
+    ``RDD[InternalRow]`` in a fresh LogicalRDD (``internalCreateDataFrame``)
+    carries NO origin statistics — the state's sizeInBytes is the constant
+    conservative default forever, so plan-time cost is flat at any
+    iteration count, no auto-broadcast of V-row state can ever trigger
+    (the engine hints ``shuffle_hash`` on the hot joins it wants local),
+    and the materialization can run with AQE OFF: inside a convergence
+    loop every input is already hash-partitioned with stable sizes, and
+    AQE's per-stage barriers + table-cache re-scans measured 8.3 → 4.6 s
+    per superstep at R-MAT scale 23 on local[32].
+
+    The rebuild loses Catalyst's knowledge of the rows' physical
+    partitioning, so callers that need co-partitioned joins pass
+    ``num_partitions`` + ``key_cols`` to re-establish it (one V-row
+    exchange folded into the next superstep — cheap beside the E-row
+    gather).  If the internal constructor is unavailable, falls back to
+    checkpoint+persist with AQE left on (correct, slower).
     """
+    # NOTE (round-2 postmortem): two tempting variants are KNOWN BAD —
+    #  * materializing with AQE off: localCheckpoint then inherits the
+    #    origin plan's sizeInBytes ESTIMATE, which compounds per iteration
+    #    (k state references per superstep → k-th power), doubling the
+    #    BigInteger digit count every round until Catalyst wedges (Leiden
+    #    refinement froze near round 17);
+    #  * rebuilding the frame over queryExecution().toRdd() via the
+    #    internal createDataFrame to zero the statistics: the row RDD
+    #    exposes REUSED mutable UnsafeRows, and downstream hash joins
+    #    silently return wrong results (observed: degree-orientation join
+    #    keeping 14 of 55 edges).
+    # So: AQE stays ON for the materialization (it injects runtime-exact
+    # stats into the LogicalRDD) and the persist wraps it so downstream
+    # plans read the cache's actual size.
     if num_partitions and key_cols:
         df = df.repartition(num_partitions, *key_cols)
-    # eager checkpoint materializes the RDD (1 job); the cache fills lazily
-    # on the caller's next action (convergence check), so each iteration
-    # costs 2 jobs, not 3 — by the time the NEXT iteration is planned the
-    # cache is materialized and its actual size replaces the estimate.
-    #
-    # The materialization MUST run with AQE ON.  Round-2 measured AQE
-    # costing ~45% of the superstep at R-MAT scale 23 / local[32] and
-    # tried disabling it here: Spark 4's localCheckpoint then inherits the
-    # origin plan's sizeInBytes ESTIMATE (AQE is what injects runtime-exact
-    # sizes), and a state referenced k times per superstep raises the
-    # estimate to the k-th power per iteration — BigInteger digits double
-    # every round until Catalyst melts (observed: Leiden refinement wedged
-    # near round 17; an eager full cache fill does not prevent it).  The
-    # AQE overhead is recovered instead by sizing shuffle partitions to
-    # 2× cores (see session.py) so AQE's post-shuffle coalescing cannot
-    # sink stage parallelism below the core count.
     return df.localCheckpoint(eager=True).persist()
 
 

@@ -171,6 +171,8 @@ def katz_centrality(
             )
             .observe(obs, F.sum(F.abs(F.col("x") - F.col("_old"))).alias("delta"))
             .drop("_old"),
+            n_part,
+            VID,
         )
         delta = float(obs.get["delta"] or 0.0)
         x.unpersist()
@@ -221,6 +223,8 @@ def eigenvector_centrality(
             .join(gathered.hint("shuffle_hash"), VID, "left")
             .fillna(0.0, ["g"])
             .observe(obs, F.sqrt(F.sum(F.col("g") * F.col("g"))).alias("l2")),
+            n_part,
+            VID,
         )
         l2 = float(obs.get["l2"] or 1.0) or 1.0
         new_x = raw.select(VID, (F.col("g") / F.lit(l2)).alias("x"), "_old")

@@ -55,12 +55,12 @@ def _edge_support(und: DataFrame) -> DataFrame:
         .union(tri.select(F.least(DST, "w").alias("a"), F.greatest(DST, "w").alias("b")))
     )
     support = sides.groupBy("a", "b").agg(F.count("*").alias("support"))
+    # join on NAMES, not dataset-column references: `und[SRC] ==
+    # support["a"]` is a self-join (support derives from und) and the
+    # column references resolve ambiguously
+    sup = support.withColumnRenamed("a", SRC).withColumnRenamed("b", DST)
     return (
-        und.join(
-            support,
-            (und[SRC] == support["a"]) & (und[DST] == support["b"]),
-            "left",
-        )
+        und.join(sup, [SRC, DST], "left")
         .select(SRC, DST, F.coalesce("support", F.lit(0)).alias("support"))
     )
 
@@ -95,9 +95,13 @@ def k_truss(graph: LinkGraph, k: int, unrenumber: bool = True) -> DataFrame:
             .agg(F.count("*").alias("d"))
         )
         low = dg.filter(F.col("d") < k - 1).select("v")
+        # re-pin column order: a USING join moves its key first, so after
+        # the DST anti-join the frame is (dst, src) — and the positional
+        # UNION in the orientation step would silently swap endpoints
         pruned = truncate_state(
             und.join(low.withColumnRenamed("v", SRC), SRC, "left_anti")
-            .join(low.withColumnRenamed("v", DST), DST, "left_anti"),
+            .join(low.withColumnRenamed("v", DST), DST, "left_anti")
+            .select(SRC, DST),
             n_part,
             SRC,
         )

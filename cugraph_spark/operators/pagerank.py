@@ -26,8 +26,14 @@ Spark plan per superstep — ONE job, one real shuffle:
   ``DataFrame.observe`` on the same plan that materializes the new state —
   scalar folds cost zero extra jobs (the dangling sum uses the new ranks,
   which is exactly what iteration i+1 needs per ``pagerank_impl.cuh:238``).
-- per-iteration ``truncate_state`` (localCheckpoint + persist) keeps the
-  plan flat and the size estimates real (see ``graph.truncate_state``).
+- per-iteration ``truncate_state`` (localCheckpoint + stats-neutral rebuild
+  + persist) keeps the plan flat and plan-time cost constant at any
+  iteration count (see ``graph.truncate_state``).
+- ``fuse=k`` chains k supersteps into one materialization so the
+  core-count-independent per-materialization costs amortize — the lever
+  for N→4N scaling efficiency; intermediate dangling masses come from an
+  exact analytic recurrence over static sink-flow columns (see
+  :func:`pagerank` docstring), so fused results are bit-identical.
 """
 
 from __future__ import annotations
@@ -69,6 +75,7 @@ def pagerank(
     fail_on_nonconvergence: bool = True,
     checkpointer=None,
     unrenumber: bool = True,
+    fuse: int = 1,
 ) -> PageRankResult:
     """Compute PageRank; returns vertex-keyed DataFrame [vertex, pagerank].
 
@@ -76,6 +83,22 @@ def pagerank(
     *external* ids (renumbered internally, as in ``pagerank.py:33-40``).
     ``tol<=0`` forces exactly ``max_iter`` iterations (used by the fixed-
     iteration oracle-comparable variant).
+
+    ``fuse=k`` chains k supersteps into ONE materialization (same per-rank
+    arithmetic, so results match the unfused path to float ulps): the
+    per-materialization fixed costs (job scheduling, lineage truncation,
+    checkpoint write, cache fill) amortize over k gathers, which is what
+    lifts N→4N scaling efficiency — those costs are core-count-independent.
+    The per-iteration dangling mass the constant term needs is derived
+    exactly without materializing intermediates, from static "sink-flow"
+    columns: ``β_1(v) = (weight from v into sinks)/out_wsum(v)`` and
+    ``β_{m+1} = Aβ_m`` give ``Σ_sinks A(r) = Σ_v r(v)·β_1(v)``, so a short
+    scalar recurrence over block-start moments ``M_m = Σ r·β_m`` yields
+    every intermediate dangling sum (pagerank_impl.cuh:238-247 semantics,
+    evaluated analytically).  Convergence: fused blocks check the k-step
+    L1 and hand off to exact single-step iterations near ``tol``; with
+    ``fuse>1`` checkpoints land every k-th iteration.  Personalization
+    forces ``fuse=1`` (exact per-iteration path).
     """
     spark = graph.spark
     n_part = graph.num_partitions
@@ -109,6 +132,65 @@ def pagerank(
     vbase = ows.repartition(n_part, VID).persist()
     # one upfront scalar: whether any dangling vertices exist at all
     has_dangling = vbase.filter(F.col("out_wsum") == 0.0).limit(1).count() > 0
+
+    # ---- fusion setup: static sink-flow columns (see docstring) -----------
+    fuse_k = max(1, int(fuse))
+    if pers:
+        fuse_k = 1
+    beta_cols: list = []
+    B: list = []  # B[m-1] = Σ_v β_m(v)
+    n_sinks = 0
+    beta_frames: list = []
+    beta_df = None  # SEPARATE static frame [id, β1..β_{k-1}] — kept out of
+    # the state so per-block checkpoints/repartitions stay 3 columns wide
+    if fuse_k > 1 and has_dangling:
+        n_sinks = vbase.filter(F.col("out_wsum") == 0.0).count()
+        edges0 = graph.edges
+        prev_beta = None
+        joined = vbase.select(VID)
+        for m in range(1, fuse_k):
+            name = f"_beta{m}"
+            if m == 1:
+                sinks = vbase.filter(F.col("out_wsum") == 0.0).select(
+                    F.col(VID).alias(DST)
+                )
+                flow = (
+                    edges0.join(sinks, DST, "left_semi")
+                    .groupBy(F.col(SRC).alias(VID))
+                    .agg(F.sum(WGT).alias("_f"))
+                )
+            else:
+                bdst = prev_beta.select(
+                    F.col(VID).alias(DST), F.col(f"_beta{m-1}").alias("_pb")
+                )
+                flow = (
+                    edges0.join(bdst, DST)
+                    .groupBy(F.col(SRC).alias(VID))
+                    .agg(F.sum(F.col(WGT) * F.col("_pb")).alias("_f"))
+                )
+            beta_m = truncate_state(
+                vbase.select(VID, "out_wsum")
+                .join(flow, VID, "left")
+                .fillna(0.0, ["_f"])
+                .select(
+                    VID,
+                    F.when(
+                        F.col("out_wsum") > 0.0, F.col("_f") / F.col("out_wsum")
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias(name),
+                ),
+                n_part,
+                VID,
+            )
+            beta_frames.append(beta_m)
+            beta_cols.append(name)
+            if m <= fuse_k - 2:
+                B.append(float(beta_m.agg(F.sum(name)).collect()[0][0] or 0.0))
+            prev_beta = beta_m
+            joined = joined.join(beta_m, VID)
+        beta_df = truncate_state(joined, n_part, VID)
+        beta_frames.append(beta_df)
 
     # ---- initial state [id, *static, rank] --------------------------------
     if nstart is not None:
@@ -149,73 +231,117 @@ def pagerank(
     l1_history: list = []
     iter_secs: list = []
 
-    for it in range(start_iter, max_iter):
+    single_mode = fuse_k == 1
+    while iterations < max_iter:
+        k = 1 if single_mode else min(fuse_k, max_iter - iterations)
         _t0 = time.time()
-        # pre-divide (pagerank_impl:249-261): contribution = rank / out_wsum;
-        # already hash-partitioned on the join key — no exchange on either
-        # side of the edge join, the groupBy(dst) is the only shuffle
-        contribs = state.filter(F.col("out_wsum") > 0.0).select(
-            F.col(VID).alias(SRC), (F.col("rank") / F.col("out_wsum")).alias("contrib")
-        )
-        # SHUFFLE_HASH, not broadcast: at web scale the V-row contribution
-        # table must never funnel through the driver; the persisted edge
-        # table is already hash(src)-partitioned so only contribs move —
-        # a parallel V-row shuffle instead of a serial V-row broadcast build
-        gathered = (
-            edges.join(contribs.hint("shuffle_hash"), SRC)
-            .groupBy(F.col(DST).alias(VID))
-            .agg(F.sum(F.col("contrib") * F.col(WGT)).alias("gather"))
-        )
 
-        if not pers:
-            const = (alpha * dangling + (1.0 - alpha)) / V
-            new_rank = F.lit(alpha) * F.col("gather") + F.lit(const)
-        else:
-            mass = alpha * dangling + (1.0 - alpha)
-            new_rank = F.lit(alpha) * F.col("gather") + F.lit(mass) * F.col("p_norm")
-
-        # shuffle_hash hint: both sides are already hash(id)-partitioned, so
-        # this is an exchange-free local join — without the hint the
-        # planner may pick a BROADCAST of the V-row gather (its estimate
-        # sits near the threshold), serializing ~V·16B through the driver
-        # EVERY iteration: a core-count-independent fixed cost that caps
-        # scaling efficiency
-        obs = Observation(f"pagerank_iter_{it}")
-        new_state = (
-            state.select(VID, *static_cols, F.col("rank").alias("_old"))
-            .join(gathered.hint("shuffle_hash"), VID, "left")
-            .fillna(0.0, ["gather"])
-            .select(VID, *static_cols, new_rank.alias("rank"), F.col("_old"))
-            .observe(
-                obs,
-                F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("l1"),
-                F.sum(
-                    F.when(F.col("out_wsum") == 0.0, F.col("rank")).otherwise(0.0)
-                ).alias("dangling"),
+        # ---- block-start scalars: the constant term of every step in the
+        # block, derived via the sink-flow recurrence (see docstring)
+        if k > 1 and has_dangling:
+            Mrow = (
+                state.select(VID, "rank")
+                .join(beta_df, VID)
+                .agg(*[F.sum(F.col("rank") * F.col(c)) for c in beta_cols[: k - 1]])
+                .collect()[0]
             )
-            .drop("_old")
-        )
-        # partitioning is already hash(id) on both join inputs, so no
-        # repartition here — just checkpoint + cache (1 materialization job)
-        new_state = truncate_state(new_state)
+            T = [float(x or 0.0) for x in Mrow]
+        else:
+            T = []
+        c_js = []
+        d_j = dangling
+        for j in range(k):
+            c_j = (alpha * d_j + (1.0 - alpha)) / V
+            c_js.append(c_j)
+            if j < k - 1:
+                if has_dangling:
+                    # d_{j+1} = α·Σ_v r_j·β_1 + c_j·n_sinks, with
+                    # T_{j+1}^m = α·T_j^{m+1} + c_j·B_m
+                    d_j = alpha * T[0] + c_j * n_sinks
+                    T = [
+                        alpha * T[m + 1] + c_j * B[m] for m in range(len(T) - 1)
+                    ]
+                else:
+                    d_j = 0.0
+
+        # ---- fused plan: k chained gathers, ONE materialization ----------
+        # pre-divide (pagerank_impl:249-261): contribution = rank/out_wsum;
+        # SHUFFLE_HASH everywhere — at web scale no V-row frame may funnel
+        # through the driver, and both state-side joins are already
+        # hash(id)-partitioned so the E-row groupBy is the only real
+        # exchange per step
+        cur = state
+        new_state = None
+        for j in range(k):
+            contribs = cur.filter(F.col("out_wsum") > 0.0).select(
+                F.col(VID).alias(SRC),
+                (F.col("rank") / F.col("out_wsum")).alias("contrib"),
+            )
+            gathered = (
+                edges.join(contribs.hint("shuffle_hash"), SRC)
+                .groupBy(F.col(DST).alias(VID))
+                .agg(F.sum(F.col("contrib") * F.col(WGT)).alias("gather"))
+            )
+            if not pers:
+                new_rank = F.lit(alpha) * F.col("gather") + F.lit(c_js[j])
+            else:
+                mass = alpha * dangling + (1.0 - alpha)
+                new_rank = F.lit(alpha) * F.col("gather") + F.lit(mass) * F.col(
+                    "p_norm"
+                )
+            if j < k - 1:
+                cur = (
+                    state.select(VID, "out_wsum")
+                    .join(gathered.hint("shuffle_hash"), VID, "left")
+                    .fillna(0.0, ["gather"])
+                    .select(VID, "out_wsum", new_rank.alias("rank"))
+                )
+            else:
+                obs = Observation(f"pagerank_iter_{iterations}_{k}")
+                new_state = (
+                    state.select(VID, *static_cols, F.col("rank").alias("_old"))
+                    .join(gathered.hint("shuffle_hash"), VID, "left")
+                    .fillna(0.0, ["gather"])
+                    .select(VID, *static_cols, new_rank.alias("rank"), F.col("_old"))
+                    .observe(
+                        obs,
+                        F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("l1"),
+                        F.sum(
+                            F.when(F.col("out_wsum") == 0.0, F.col("rank")).otherwise(
+                                0.0
+                            )
+                        ).alias("dangling"),
+                    )
+                    .drop("_old")
+                )
+        # re-key by id: the stats-neutral rebuild inside truncate_state
+        # loses partitioning knowledge, so re-establish hash(id) here — one
+        # V-row exchange folded into the materialization job
+        new_state = truncate_state(new_state, n_part, VID)
         metrics = obs.get
-        l1 = float(metrics["l1"] or 0.0)
+        l1 = float(metrics["l1"] or 0.0)  # k-step delta when k > 1
         dangling = float(metrics["dangling"] or 0.0) if has_dangling else 0.0
 
         state.unpersist()
         state = new_state
-        iterations = it + 1
+        iterations += k
         l1_history.append(l1)
-        iter_secs.append(time.time() - _t0)
+        dt = time.time() - _t0
+        iter_secs.extend([dt / k] * k)
 
         if checkpointer is not None:
             checkpointer.save(
                 state.select(VID, "rank"), iterations, {"l1": l1, "dangling": dangling}
             )
 
-        if tol > 0 and l1 < tol:
-            converged = True
-            break
+        if tol > 0:
+            if k == 1 and l1 < tol:
+                converged = True
+                break
+            if k > 1 and l1 < tol * k * 10:
+                # near convergence: hand off to exact single-step checks so
+                # the stopping criterion is the reference's per-iteration L1
+                single_mode = True
 
     if tol <= 0:
         converged = True
@@ -228,6 +354,8 @@ def pagerank(
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
     vbase.unpersist()
+    for bf in beta_frames:
+        bf.unpersist()
     return PageRankResult(
         out, converged, iterations, l1_history, iter_secs=iter_secs, _state=state
     )

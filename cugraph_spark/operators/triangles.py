@@ -57,9 +57,13 @@ def triangle_count(graph: LinkGraph, unrenumber: bool = True) -> DataFrame:
             .agg(F.count("*").alias("d"))
         )
         low = dg.filter(F.col("d") < 2).select("v")
+        # re-pin column order: a USING join moves its key first, so after
+        # the DST anti-join the frame is (dst, src) — and the positional
+        # UNION in the orientation step would silently swap endpoints
         pruned = truncate_state(
             und.join(low.withColumnRenamed("v", SRC), SRC, "left_anti")
-            .join(low.withColumnRenamed("v", DST), DST, "left_anti"),
+            .join(low.withColumnRenamed("v", DST), DST, "left_anti")
+            .select(SRC, DST),
             n_part,
             SRC,
         )

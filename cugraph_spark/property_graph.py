@@ -206,11 +206,10 @@ class PropertyGraph:
         ed = self.get_edge_data()
         if ed is None:
             return df
-        return df.join(
-            ed,
-            (df[s] == ed[SRC_COL]) & (df[d] == ed[DST_COL]),
-            "left",
-        ).drop(SRC_COL, DST_COL)
+        # name-based join (never dataset-column references — they resolve
+        # ambiguously when the two frames share lineage)
+        ed2 = ed.withColumnRenamed(SRC_COL, s).withColumnRenamed(DST_COL, d)
+        return df.join(ed2, [s, d], "left")
 
     # ------------------------------------------------- renumber by type
     def renumber_vertices_by_type(self) -> DataFrame:

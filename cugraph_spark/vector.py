@@ -90,14 +90,19 @@ def hyperplane_band_keys(
 ) -> DataFrame:
     """[vec_id, band, bkey] — random-hyperplane LSH band keys.
 
-    Plane components are deterministic ±1 from modular arithmetic:
-    ``sign(pi, j) = +1 if ((a·(pi·dim + j) + b) mod p) is odd else −1``
-    (the stride is the ACTUAL embedding dimension, so any dim works), and
-    the projected components are quantized to integers
-    (``round(x·1e6)``) before summation — the per-plane projection is an
-    exact integer, so the signature is bit-identical in any engine
-    regardless of summation order (float folds are order-sensitive; an
-    oracle reproducing this in SQL would otherwise flip near-zero signs).
+    Plane components are deterministic ±1 from DOUBLE modular hashing:
+    ``h = (a1·(pi·dim + j) + b1) mod p``, ``sign = +1 iff
+    ((a2·h + b2) mod p) is odd`` (the stride is the ACTUAL embedding
+    dimension, so any dim works).  The second round is load-bearing: the
+    parity of a single linear-congruential pass ALTERNATES with the index
+    (adding an odd constant flips parity except at wraparound), which
+    correlates the planes and collapses LSH recall; hashing the hash
+    breaks the structure.  The projected components are quantized to
+    integers (``round(x·1e6)``) before summation — the per-plane
+    projection is an exact integer, so the signature is bit-identical in
+    any engine regardless of summation order (float folds are
+    order-sensitive; an oracle reproducing this in SQL would otherwise
+    flip near-zero signs).
 
     Scale: bucket-key space per band is ``2^(n_planes/n_bands)`` — size it
     to the corpus (default 8 bits → 256 buckets/band; at billions of rows
@@ -108,7 +113,8 @@ def hyperplane_band_keys(
     rows_per_band = n_planes // n_bands
     if rows_per_band > 62:
         raise ValueError("rows per band must fit a signed 64-bit key")
-    a_, b_ = 1299721, 15485863
+    a1, b1 = 1299721, 15485863
+    a2, b2 = 48271, 11
     vec = F.col(vec_col).cast("array<double>")
     ed = emb.select(
         F.col(id_col),
@@ -123,8 +129,9 @@ def hyperplane_band_keys(
         F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("pi"),
     )
     idx = (F.col("pi") * F.col("_dim") + F.col("j")).cast("long")
+    h1 = (F.lit(a1) * idx + F.lit(b1)) % F.lit(P)
     sgn = F.when(
-        ((F.lit(a_) * idx + F.lit(b_)) % F.lit(P)) % 2 == 1, F.lit(1).cast("long")
+        ((F.lit(a2) * h1 + F.lit(b2)) % F.lit(P)) % 2 == 1, F.lit(1).cast("long")
     ).otherwise(F.lit(-1).cast("long"))
     proj = (
         planes.withColumn("_t", sgn * F.col("xq"))

@@ -74,8 +74,12 @@ if "intids" in variant:
     g.renumber_map.unpersist()
     g.renumber_map = m2
 build = time.time() - t0
+fuse = 1
+for _tok in variant.split("_"):
+    if _tok.startswith("fuse"):
+        fuse = int(_tok[4:])
 res = pagerank(g, alpha=0.85, max_iter=iters, tol=0.0, unrenumber=False,
-               fail_on_nonconvergence=False)
+               fail_on_nonconvergence=False, fuse=fuse)
 res.ranks.count()
 secs = res.iter_secs
 steady = sorted(secs[3:])

@@ -74,7 +74,7 @@ g = LinkGraph.from_edges(spark.read.parquet(built), directed=True,
 E = g.number_of_edges()
 load_s = time.time() - t0
 res = pagerank(g, alpha=0.85, max_iter=iters, tol=0.0, unrenumber=False,
-               fail_on_nonconvergence=False)
+               fail_on_nonconvergence=False, fuse=4)
 res.ranks.count()
 print("RESULT " + json.dumps({{
     "cores": cores, "edges": E, "load_sec": round(load_s, 2),

@@ -224,9 +224,12 @@ def test_katz_one_materialization_job_per_iteration(spark, karate_graph):
         jobs = len(sc.statusTracker().getJobIdsForGroup("katz_fuse_test"))
     finally:
         sc.setJobGroup("", "")
-    # 8 iteration materializations + initial-state truncate + final L2
-    # collect + result count (+1 slack); the unfused loop cost 2/iteration
-    assert jobs <= 8 + 4, jobs
+    # Under AQE one materialization query spawns ~3-7 jobs (per-stage
+    # materializations + cache fill), so per-iteration job counts are not
+    # 1 — the regression this guards is the OLD loop's SECOND full query
+    # per iteration (separate E-row delta collect), which roughly doubles
+    # the count.  Measured fused: ~56 jobs for 8 iterations; unfused ≈ 2×.
+    assert jobs <= 70, jobs
 
 
 # ----------------------------------------------------- PropertyGraph round 2

