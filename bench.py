@@ -60,7 +60,9 @@ def main():
 
     # ---- pagerank to 1e-6 (north-rule headline) ---------------------------
     t0 = time.time()
-    res = pagerank(g, alpha=0.85, max_iter=300, tol=1e-6, unrenumber=False, fuse=4)
+    # fuse="auto" (default): fusion only engages above FUSE_MIN_EDGES —
+    # at sf0.1 (~600k edges) the exact single-step path is ~4x faster
+    res = pagerank(g, alpha=0.85, max_iter=300, tol=1e-6, unrenumber=False)
     res.ranks.count()
     dt = time.time() - t0
     timings["pagerank"] = round(dt, 3)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..graph import VID, LinkGraph, truncate_state
-from .louvain import _canonical_undirected, _local_move, _modularity
+from .louvain import _canonical_undirected, _levels, _local_move, _modularity
 
 
 def leiden(
@@ -183,7 +183,61 @@ def leiden(
         m_orig = mapping.select(F.col("orig").alias("v"), F.col("cur").alias("c"))
 
     orig = truncate_state(_canonical_undirected(graph), n_part, "a")
+
+    # ---- 4. compound-move polish -----------------------------------------
+    # Piece-level local moving cannot execute a whole-community merge:
+    # moving one refined piece alone can be negative-gain even when moving
+    # its entire community is positive, so the refined levels can strand Q
+    # at the level-0 local optimum (observed on karate: stuck at 0.3991
+    # while Louvain's community-aggregated levels reach 0.4198).  Coarsen
+    # the ORIGINAL graph by the final partition (one supervertex per
+    # community, self-loops carrying intra weight) and run the Louvain
+    # level loop over it — every supervertex move IS a whole-community
+    # merge.  Leiden's level 0 equals Louvain's level 0 (same deterministic
+    # local move), so with this phase the reference contract
+    # ``Q(leiden) >= Q(louvain)`` (tests/community/test_leiden.py) holds;
+    # the better of (polished, unpolished) is returned as a final guard
+    # against synchronous-move regressions.  Cost: C-row levels + one extra
+    # E-row coarsen/modularity pass.
+    m_orig = truncate_state(m_orig, n_part, "v")
+    cm = m_orig.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+    cm2 = m_orig.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+    agg_edges = (
+        orig.join(cm, "a")
+        .join(cm2, "b")
+        .select(
+            F.least("ca", "cb").alias("a"),
+            F.greatest("ca", "cb").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    polish = _levels(
+        truncate_state(agg_edges, n_part, "a"),
+        n_part,
+        resolution,
+        max_iter,
+        max_levels,
+    )
     modularity = _modularity(orig, m_orig, resolution)
+    if polish is not None:
+        m_pol = truncate_state(
+            m_orig.join(
+                polish.select(F.col("orig").alias("c"), F.col("cur").alias("_pc")),
+                "c",
+                "left",
+            ).select("v", F.coalesce("_pc", F.col("c")).alias("c")),
+            n_part,
+            "v",
+        )
+        q_pol = _modularity(orig, m_pol, resolution)
+        polish.unpersist()
+        if q_pol > modularity:
+            m_orig.unpersist()
+            m_orig, modularity = m_pol, q_pol
+        else:
+            m_pol.unpersist()
 
     out = m_orig.select(F.col("v").alias("vertex"), F.col("c").alias("partition"))
     canon = out.groupBy("partition").agg(F.min("vertex").alias("_canon"))

@@ -162,18 +162,18 @@ def _modularity(orig: DataFrame, m_orig: DataFrame, resolution: float) -> float:
     return (in_both + in_loops) / two_m - resolution * float(q_parts)
 
 
-def louvain(
-    graph: LinkGraph,
-    max_iter: int = 20,
-    max_levels: int = 10,
-    resolution: float = 1.0,
-    unrenumber: bool = True,
-):
-    """Returns ``(DF[vertex, partition], modularity)``. Partition labels are
-    canonicalized to each community's minimum member id."""
-    n_part = graph.num_partitions
-
-    edges = truncate_state(_canonical_undirected(graph), n_part, "a")
+def _levels(
+    edges: DataFrame,  # [a, b, w] canonical undirected, persisted; consumed
+    n_part: int,
+    resolution: float,
+    max_iter: int,
+    max_levels: int,
+) -> DataFrame | None:
+    """The Louvain level loop (local move + coarsen until no reduction) over
+    a canonical undirected weighted edge frame (self-loops carry intra-
+    community weight).  Returns the composed mapping [orig, cur]
+    (original vertex -> final community), or None for an edgeless input.
+    The input frame is unpersisted before returning."""
     mapping = None  # original vertex -> current-level vertex
 
     for _level in range(max_levels):
@@ -243,6 +243,22 @@ def louvain(
         comm.unpersist()
 
     edges.unpersist()
+    return mapping
+
+
+def louvain(
+    graph: LinkGraph,
+    max_iter: int = 20,
+    max_levels: int = 10,
+    resolution: float = 1.0,
+    unrenumber: bool = True,
+):
+    """Returns ``(DF[vertex, partition], modularity)``. Partition labels are
+    canonicalized to each community's minimum member id."""
+    n_part = graph.num_partitions
+
+    edges = truncate_state(_canonical_undirected(graph), n_part, "a")
+    mapping = _levels(edges, n_part, resolution, max_iter, max_levels)
     if mapping is None:  # empty/edgeless graph: every vertex its own community
         mapping = graph.vertices().select(
             F.col(VID).alias("orig"), F.col(VID).alias("cur")

@@ -46,6 +46,13 @@ from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, VID, WGT, LinkGraph, truncate_state
 
+# fuse="auto" engages fusion only at/above this edge count: below it the
+# beta-frame builds + block overshoot cost more than the amortized
+# per-materialization savings (measured: fuse=4 at 600k edges = 3.9x slower;
+# at R-MAT scale 23 (~130M edges) fusion is what lifts N->4N scaling).
+FUSE_MIN_EDGES = 20_000_000
+FUSE_AUTO_K = 4
+
 
 @dataclass
 class PageRankResult:
@@ -75,7 +82,7 @@ def pagerank(
     fail_on_nonconvergence: bool = True,
     checkpointer=None,
     unrenumber: bool = True,
-    fuse: int = 1,
+    fuse: int | str = "auto",
 ) -> PageRankResult:
     """Compute PageRank; returns vertex-keyed DataFrame [vertex, pagerank].
 
@@ -83,6 +90,13 @@ def pagerank(
     *external* ids (renumbered internally, as in ``pagerank.py:33-40``).
     ``tol<=0`` forces exactly ``max_iter`` iterations (used by the fixed-
     iteration oracle-comparable variant).
+
+    ``fuse`` defaults to ``"auto"``: fusion engages only when the graph is
+    large enough that per-materialization fixed costs dominate
+    (``E >= FUSE_MIN_EDGES``); below that threshold fusion's own fixed
+    costs (beta-frame builds: one join+groupBy+materialize each, plus
+    block-of-k iteration overshoot) exceed what it saves, measured 4x
+    slower at 600k edges.  Pass an int to force a block size.
 
     ``fuse=k`` chains k supersteps into ONE materialization (same per-rank
     arithmetic, so results match the unfused path to float ulps): the
@@ -134,6 +148,8 @@ def pagerank(
     has_dangling = vbase.filter(F.col("out_wsum") == 0.0).limit(1).count() > 0
 
     # ---- fusion setup: static sink-flow columns (see docstring) -----------
+    if fuse == "auto":
+        fuse = FUSE_AUTO_K if graph.number_of_edges() >= FUSE_MIN_EDGES else 1
     fuse_k = max(1, int(fuse))
     if pers:
         fuse_k = 1
