@@ -611,14 +611,15 @@ FROM (SELECT a.seed AS e_seed, e.src, e.dst
 
 
 def _sql_embedding_lsh_topk(
-    k: int = 5, n_planes: int = 64, n_bands: int = 8
+    k: int = 5, n_planes: int = 64, n_bands: int = 8, probe_bits: int = 2
 ) -> str:
     """Exact SQL mirror of :func:`cugraph_spark.vector.lsh_topk` — the
     signature math is INTEGER (quantized components, modular ±1 signs), so
     the bucket assignment is bit-identical across engines; candidates,
-    cosines, rounding and ranking then replay the Spark plan."""
+    cosines, rounding and ranking then replay the Spark plan (including the
+    weight-≤probe_bits multi-probe mask set, from the same generator)."""
     rows = n_planes // n_bands
-    flips = [0] + [1 << b for b in range(rows)]
+    flips = vec.probe_masks(rows, probe_bits)
     q = vec.QUANT
     a1, b1 = 1299721, 15485863
     a2, b2 = 48271, 11
