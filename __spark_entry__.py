@@ -659,6 +659,152 @@ QUALIFY rank <= {k}
 """
 
 
+def _sql_core_number(rounds: int = 24) -> str:
+    """Iterated-H-index fixpoint oracle: starting from degree,
+    ``c_{t+1}(v) = H-index of {c_t(u) : u ~ v}`` converges to the coreness
+    (Lü et al. 2016, "The H-index of a network node and its relation to
+    degree and coreness").  Coreness is a UNIQUE fixpoint, so the oracle
+    need not mirror the Spark peel's order — any convergent method matches
+    exactly.  ``rounds`` is unrolled (DuckDB 1.0 has no keyed recursion)
+    and verified ≥ the sf0.01 fixture's convergence depth."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES}), "
+        f"verts AS MATERIALIZED ({_VERTS}), "
+        f"adj AS MATERIALIZED ({_SYM}), "
+        "c0 AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM adj GROUP BY src)"
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", c{t} AS MATERIALIZED (
+  SELECT v, MAX(LEAST(rn, cv)) AS c FROM (
+    SELECT a.src AS v, c.c AS cv,
+           ROW_NUMBER() OVER (PARTITION BY a.src ORDER BY c.c DESC) AS rn
+    FROM adj a JOIN c{t - 1} c ON c.v = a.dst) GROUP BY v)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(t.v AS BIGINT) AS vertex,
+       CAST(COALESCE(f.c, 0) AS INT) AS core_number
+FROM verts t LEFT JOIN c{rounds} f ON f.v = t.v"""
+    )
+    return "".join(parts)
+
+
+def _sql_ktruss(k: int = 4, rounds: int = 8) -> str:
+    """Iterated support-peel oracle: drop canonical edges with < k−2
+    triangles, repeat.  The k-truss is the UNIQUE maximal fixpoint
+    (peel order is irrelevant), so the unrolled rounds need not mirror the
+    Spark (k−1)-core pre-peel; ``rounds`` verified ≥ the sf0.01 fixture's
+    convergence depth (extra rounds are no-ops on the fixpoint)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES}), "
+        "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges)"
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f""", tri{t} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM u{p} e1 JOIN u{p} e2 ON e2.a = e1.b
+  JOIN u{p} e3 ON e3.a = e1.a AND e3.b = e2.b),
+sup{t} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS s FROM (
+    SELECT x AS a, y AS b FROM tri{t}
+    UNION ALL SELECT y AS a, z AS b FROM tri{t}
+    UNION ALL SELECT x AS a, z AS b FROM tri{t}) GROUP BY a, b),
+u{t} AS MATERIALIZED (
+  SELECT e.a, e.b FROM u{p} e JOIN sup{t} s ON s.a = e.a AND s.b = e.b
+  WHERE s.s >= {k - 2})"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM u{rounds}"""
+    )
+    return "".join(parts)
+
+
+def _sql_brandes(edge_form: bool, n_sources: int = 16, depth: int = 10) -> str:
+    """Unrolled multi-source Brandes mirror of
+    :mod:`cugraph_spark.operators.betweenness` — forward sigma-BFS per
+    depth level, backward dependency accumulation per level, the per-edge
+    term shared between the vertex and edge variants, and the reference's
+    n/k + 1/((n−1)(n−2)) (vertex) or 1/(n(n−1)) (edge) scaling.  ``depth``
+    is unrolled ≥ the fixture's max source eccentricity (deeper levels are
+    empty frames, which cost nothing)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES}), "
+        f"verts AS MATERIALIZED ({_VERTS}), "
+        f"srcs AS MATERIALIZED (SELECT CAST(t.range AS BIGINT) AS s "
+        f"FROM range({n_sources}) t), "
+        "l0 AS MATERIALIZED (SELECT s, s AS v, CAST(1.0 AS DOUBLE) AS sigma "
+        "FROM srcs), "
+        "seen0 AS MATERIALIZED (SELECT s, v FROM l0)"
+    ]
+    for d in range(1, depth + 1):
+        p = d - 1
+        parts.append(
+            f""", l{d} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, SUM(f.sigma) AS sigma
+  FROM l{p} f JOIN edges e ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM seen{p} sn
+                    WHERE sn.s = f.s AND sn.v = e.dst)
+  GROUP BY f.s, e.dst),
+seen{d} AS MATERIALIZED (
+  SELECT s, v FROM seen{p} UNION ALL SELECT s, v FROM l{d})"""
+        )
+    parts.append(
+        f""", delta{depth} AS MATERIALIZED (
+  SELECT s, v, CAST(0.0 AS DOUBLE) AS delta FROM l{depth} WHERE 1 = 0)"""
+    )
+    for d in range(depth - 1, -1, -1):
+        w = d + 1
+        parts.append(
+            f""", terms{d} AS MATERIALIZED (
+  SELECT ld.s, e.src, e.dst,
+         ld.sigma / lw.sigma * (1.0 + COALESCE(dl.delta, 0.0)) AS term
+  FROM edges e
+  JOIN l{d} ld ON ld.v = e.src
+  JOIN l{w} lw ON lw.s = ld.s AND lw.v = e.dst
+  LEFT JOIN delta{w} dl ON dl.s = ld.s AND dl.v = e.dst),
+delta{d} AS MATERIALIZED (
+  SELECT s, src AS v, SUM(term) AS delta FROM terms{d} GROUP BY s, src)"""
+        )
+    nn = ", nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)"
+    if edge_form:
+        terms_union = " UNION ALL ".join(
+            f"SELECT src, dst, term FROM terms{d}" for d in range(depth)
+        )
+        parts.append(nn)
+        parts.append(
+            f""", eacc AS (SELECT src, dst, SUM(term) AS bc
+  FROM ({terms_union}) GROUP BY src, dst)
+SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
+       ROUND(COALESCE(a.bc, 0.0)
+             * ((SELECT n FROM nn) / {n_sources}.0)
+             / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1.0)), 6) + 0.0
+         AS betweenness_centrality
+FROM edges e LEFT JOIN eacc a ON a.src = e.src AND a.dst = e.dst"""
+        )
+    else:
+        delta_union = " UNION ALL ".join(
+            f"SELECT s, v, delta FROM delta{d}" for d in range(depth)
+        )
+        parts.append(nn)
+        parts.append(
+            f""", acc AS (SELECT v, SUM(delta) AS bc
+  FROM ({delta_union}) WHERE s != v GROUP BY v)
+SELECT CAST(t.v AS BIGINT) AS vertex,
+       ROUND(COALESCE(a.bc, 0.0)
+             * ((SELECT n FROM nn) / {n_sources}.0)
+             / (((SELECT n FROM nn) - 1.0) * ((SELECT n FROM nn) - 2.0)), 6)
+         + 0.0 AS betweenness_centrality
+FROM verts t LEFT JOIN acc a ON a.v = t.v"""
+        )
+    return "".join(parts)
+
+
 def _sql_wcc() -> str:
     return f"""
 WITH RECURSIVE edges AS ({_EDGES}), verts AS ({_VERTS}),
@@ -1103,15 +1249,17 @@ def oracle_sql() -> dict[str, str]:
         "hits": _sql_hits(),
         "katz": _sql_katz(),
         "eigenvector": _sql_eigenvector(),
-        # core_number: no SQL oracle (nested peel loops) → rows-only check
+        "core_number": _sql_core_number(),
         "induced_subgraph": _sql_induced_subgraph(),
         "ego_graph": _sql_ego_graph(),
         "scc": _sql_scc(),
         "mst_summary": _sql_mst_summary(),
-        # ktruss: no SQL oracle (fixpoint peel loop) → rows-only check
-        # louvain/leiden/ecg: no SQL oracle (multi-level optimization) →
-        #   rows-only check; pytest carries the modularity gates
-        # betweenness/edge_betweenness: no SQL oracle (Brandes) → rows-only
+        "ktruss": _sql_ktruss(),
+        # louvain/leiden/ecg: no SQL oracle (multi-level optimization with
+        #   data-dependent early exit) → rows-only check; pytest carries
+        #   the modularity gates (Q ≥ networkx Louvain / Q_leiden ≥ Q_louvain)
+        "betweenness": _sql_brandes(edge_form=False),
+        "edge_betweenness": _sql_brandes(edge_form=True),
         "pagerank_personalized": _sql_pagerank_personalized(),
         "wjaccard": _sql_weighted_pair(
             "CAST(isect AS DOUBLE) / (va.vol + vb.vol - isect)", "jaccard_coeff"

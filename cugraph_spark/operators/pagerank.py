@@ -157,8 +157,11 @@ def pagerank(
     B: list = []  # B[m-1] = Σ_v β_m(v)
     n_sinks = 0
     beta_frames: list = []
-    beta_df = None  # SEPARATE static frame [id, β1..β_{k-1}] — kept out of
-    # the state so per-block checkpoints/repartitions stay 3 columns wide
+    beta_df = None  # static frame [id, β1..β_{k-1}]; joined into the state
+    # base so the block-start moments M_m = Σ rank·β_m fold into the SAME
+    # observe() that computes l1/dangling — no separate per-block join+agg
+    # job (a core-count-independent fixed cost that capped N→4N scaling).
+    # Cost: k-1 extra double columns ride through each checkpoint.
     if fuse_k > 1 and has_dangling:
         n_sinks = vbase.filter(F.col("out_wsum") == 0.0).count()
         edges0 = graph.edges
@@ -207,6 +210,12 @@ def pagerank(
             joined = joined.join(beta_m, VID)
         beta_df = truncate_state(joined, n_part, VID)
         beta_frames.append(beta_df)
+        # fold the sink-flow columns into the static vertex base (both
+        # frames are hash(id)-partitioned, so this is a local zip join);
+        # the pre-join base joins the release list below
+        beta_frames.append(vbase)
+        vbase = vbase.join(beta_df, VID).persist()
+        static_cols = static_cols + beta_cols
 
     # ---- initial state [id, *static, rank] --------------------------------
     if nstart is not None:
@@ -248,20 +257,24 @@ def pagerank(
     iter_secs: list = []
 
     single_mode = fuse_k == 1
+    T_next: list | None = None  # block-start moments carried from observe
     while iterations < max_iter:
         k = 1 if single_mode else min(fuse_k, max_iter - iterations)
         _t0 = time.time()
 
         # ---- block-start scalars: the constant term of every step in the
-        # block, derived via the sink-flow recurrence (see docstring)
+        # block, derived via the sink-flow recurrence (see docstring);
+        # moments come from the PREVIOUS block's observe — only the very
+        # first fused block pays a scalar fold job
         if k > 1 and has_dangling:
-            Mrow = (
-                state.select(VID, "rank")
-                .join(beta_df, VID)
-                .agg(*[F.sum(F.col("rank") * F.col(c)) for c in beta_cols[: k - 1]])
-                .collect()[0]
-            )
-            T = [float(x or 0.0) for x in Mrow]
+            if T_next is None:
+                T_next = [
+                    float(x or 0.0)
+                    for x in state.agg(
+                        *[F.sum(F.col("rank") * F.col(c)) for c in beta_cols]
+                    ).collect()[0]
+                ]
+            T = T_next[: k - 1]
         else:
             T = []
         c_js = []
@@ -327,6 +340,12 @@ def pagerank(
                                 0.0
                             )
                         ).alias("dangling"),
+                        # next block's moments M_m = Σ rank·β_m — free on
+                        # this materialization instead of a dedicated job
+                        *[
+                            F.sum(F.col("rank") * F.col(c)).alias(f"_m{m}")
+                            for m, c in enumerate(beta_cols)
+                        ],
                     )
                     .drop("_old")
                 )
@@ -337,6 +356,10 @@ def pagerank(
         metrics = obs.get
         l1 = float(metrics["l1"] or 0.0)  # k-step delta when k > 1
         dangling = float(metrics["dangling"] or 0.0) if has_dangling else 0.0
+        if beta_cols:
+            T_next = [
+                float(metrics[f"_m{m}"] or 0.0) for m in range(len(beta_cols))
+            ]
 
         state.unpersist()
         state = new_state

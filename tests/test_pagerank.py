@@ -82,3 +82,29 @@ def test_pagerank_parallelism_invariance(spark, karate_df):
         assert np.isclose(r2[v], r8[v], atol=1e-12)
     g2.unpersist()
     g8.unpersist()
+
+
+def test_pagerank_fused_bit_identical(spark):
+    """fuse=k chains k supersteps into one materialization with dangling
+    mass derived from the sink-flow recurrence; results must match the
+    exact single-step path bit-for-bit (pagerank.py docstring contract),
+    including on a graph WITH dangling vertices."""
+    edges = seeded_graph(60, 150, seed=7) + [(1, 59), (2, 58)]
+    # drop all out-edges of a few vertices to force sinks in the directed view
+    edges = [(s, d) for s, d in edges if s not in (58, 59)]
+    g = _build(spark, edges)
+    exact = {
+        r["vertex"]: r["pagerank"]
+        for r in pagerank(g, tol=0.0, max_iter=9, fuse=1,
+                          fail_on_nonconvergence=False).ranks.collect()
+    }
+    for k in (3, 4):
+        fused = {
+            r["vertex"]: r["pagerank"]
+            for r in pagerank(g, tol=0.0, max_iter=9, fuse=k,
+                              fail_on_nonconvergence=False).ranks.collect()
+        }
+        assert set(fused) == set(exact)
+        for v in exact:
+            assert fused[v] == exact[v], (k, v, fused[v], exact[v])
+    g.unpersist()
