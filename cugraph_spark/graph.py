@@ -24,7 +24,6 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,76 +37,44 @@ VID = "id"
 EXT = "ext_id"
 
 
-@contextmanager
-def static_plan(spark: SparkSession):
-    """Disable adaptive query execution for the duration of a block.
-
-    For ONE-SHOT queries whose inputs are already well-partitioned this
-    saves AQE's per-stage re-planning.  Do NOT use it around iterative
-    state that flows through ``localCheckpoint`` (``truncate_state``):
-    Spark 4 builds the checkpointed LogicalRDD's statistics from the origin
-    plan, and only an adaptive execution substitutes runtime-exact sizes —
-    under a non-adaptive loop the inherited ESTIMATE compounds per
-    iteration (a state referenced k times per superstep raises sizeInBytes
-    to the k-th power), doubling the BigInteger digit count every round
-    until Catalyst spends minutes in BigInteger math (observed: Leiden's
-    refinement wedged near round 17).
-    """
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
-
-
 def truncate_state(
     df: DataFrame, num_partitions: int | None = None, *key_cols: str
 ) -> DataFrame:
-    """Materialize per-iteration vertex state with FLAT statistics:
-    ``localCheckpoint`` (cuts lineage) → rebuild the DataFrame directly
-    over the checkpointed row RDD (resets plan statistics) → repartition
-    (optional) → ``persist``.  Callers must ``unpersist()`` the previous
-    state.
+    """Materialize per-iteration vertex state: optional repartition on the
+    caller's join keys → ``localCheckpoint(eager=True)`` (cuts lineage) →
+    ``persist``, with AQE left ON.  Callers must ``unpersist()`` the
+    previous state.
 
-    Why the rebuild: Spark 4's ``localCheckpoint`` propagates the origin
-    plan's sizeInBytes ESTIMATE into the resulting LogicalRDD, and an
-    iterative plan that references the previous state k times raises the
-    estimate to the k-th power every superstep — the BigInteger doubles in
-    digit count per iteration until Catalyst spends minutes in BigInteger
-    multiplication (observed: HITS/WCC at ~iteration 20 in round 1, Leiden
-    refinement at ~round 17 in round 2).  Re-wrapping the checkpointed
-    ``RDD[InternalRow]`` in a fresh LogicalRDD (``internalCreateDataFrame``)
-    carries NO origin statistics — the state's sizeInBytes is the constant
-    conservative default forever, so plan-time cost is flat at any
-    iteration count, no auto-broadcast of V-row state can ever trigger
-    (the engine hints ``shuffle_hash`` on the hot joins it wants local),
-    and the materialization can run with AQE OFF: inside a convergence
-    loop every input is already hash-partitioned with stable sizes, and
-    AQE's per-stage barriers + table-cache re-scans measured 8.3 → 4.6 s
-    per superstep at R-MAT scale 23 on local[32].
+    Why this exact shape (round-2 postmortem — both tempting variants are
+    KNOWN BAD):
 
-    The rebuild loses Catalyst's knowledge of the rows' physical
+    * materializing with AQE OFF: ``localCheckpoint`` then inherits the
+      origin plan's sizeInBytes ESTIMATE into the LogicalRDD, and an
+      iterative plan that references the previous state k times raises the
+      estimate to the k-th power every superstep — the BigInteger doubles
+      in digit count per round until Catalyst spends minutes in BigInteger
+      multiplication (observed: HITS/WCC at ~iteration 20 in round 1,
+      Leiden refinement wedged near round 17 in round 2).  With AQE ON the
+      adaptive execution substitutes runtime-exact sizes into the
+      checkpointed LogicalRDD, so statistics stay flat at any iteration
+      count.
+    * rebuilding the frame over ``queryExecution().toRdd()`` via the
+      internal ``createDataFrame`` to zero the statistics: the row RDD
+      exposes REUSED mutable UnsafeRows, and downstream hash joins
+      silently return wrong results (observed: degree-orientation join
+      keeping 14 of 55 edges).
+
+    So: AQE stays ON for the materialization (it injects runtime-exact
+    stats), the persist wraps the checkpointed rows so downstream plans
+    read the cache's actual size, and no V-row state can auto-broadcast
+    because the hot joins hint ``shuffle_hash`` explicitly.
+
+    ``localCheckpoint`` loses Catalyst's knowledge of the rows' physical
     partitioning, so callers that need co-partitioned joins pass
     ``num_partitions`` + ``key_cols`` to re-establish it (one V-row
     exchange folded into the next superstep — cheap beside the E-row
-    gather).  If the internal constructor is unavailable, falls back to
-    checkpoint+persist with AQE left on (correct, slower).
+    gather).
     """
-    # NOTE (round-2 postmortem): two tempting variants are KNOWN BAD —
-    #  * materializing with AQE off: localCheckpoint then inherits the
-    #    origin plan's sizeInBytes ESTIMATE, which compounds per iteration
-    #    (k state references per superstep → k-th power), doubling the
-    #    BigInteger digit count every round until Catalyst wedges (Leiden
-    #    refinement froze near round 17);
-    #  * rebuilding the frame over queryExecution().toRdd() via the
-    #    internal createDataFrame to zero the statistics: the row RDD
-    #    exposes REUSED mutable UnsafeRows, and downstream hash joins
-    #    silently return wrong results (observed: degree-orientation join
-    #    keeping 14 of 55 edges).
-    # So: AQE stays ON for the materialization (it injects runtime-exact
-    # stats into the LogicalRDD) and the persist wraps it so downstream
-    # plans read the cache's actual size.
     if num_partitions and key_cols:
         df = df.repartition(num_partitions, *key_cols)
     return df.localCheckpoint(eager=True).persist()
@@ -169,16 +136,22 @@ def assign_dense_ids(
     )
 
 
-def symmetrize_edges(edges: DataFrame, weighted: bool) -> DataFrame:
-    """Union reverse edges and dedup with min(weight).
+def symmetrize_edges(edges: DataFrame, weighted: bool, multi: bool = False) -> DataFrame:
+    """Union reverse edges; dedup with min(weight) unless ``multi``.
 
-    Reference semantics: ``structure/symmetrize.py:80-88`` — reverse union
-    then ``groupby(src,dst).min()`` over attributes.
+    Reference semantics: ``structure/symmetrize.py:80-90`` — reverse union
+    then ``groupby(src,dst).min()`` over attributes, SKIPPED when the graph
+    is a Multi(Di)Graph (``multi=True`` returns the raw union, parallel
+    edges preserved).
     """
     rev = edges.select(
         F.col(DST).alias(SRC), F.col(SRC).alias(DST), *( [WGT] if weighted else [] )
     )
     both = edges.select(SRC, DST, *([WGT] if weighted else [])).union(rev)
+    if multi:
+        if not weighted:
+            both = both.withColumn(WGT, F.lit(1.0))
+        return both
     if weighted:
         return both.groupBy(SRC, DST).agg(F.min(WGT).alias(WGT))
     return both.distinct().withColumn(WGT, F.lit(1.0))
@@ -216,6 +189,7 @@ class LinkGraph:
         renumber: bool = True,
         drop_self_loops: bool = False,
         dedup: bool = True,
+        multigraph: bool = False,
         num_partitions: int | None = None,
     ) -> "LinkGraph":
         """Build pipeline mirroring ``simpleGraph.py:122-302``:
@@ -297,8 +271,10 @@ class LinkGraph:
             edges = edges.withColumn(WGT, F.lit(1.0))
 
         if not directed:
-            edges = symmetrize_edges(edges, weighted=True)
-        elif dedup:
+            # multigraph keeps parallel edges through the reverse union
+            # (symmetrize.py:84-86, multi=True path)
+            edges = symmetrize_edges(edges, weighted=True, multi=multigraph)
+        elif dedup and not multigraph:
             # directed path still drops duplicate edges (symmetrize.py:60-88)
             edges = edges.groupBy(SRC, DST).agg(F.min(WGT).alias(WGT))
 
@@ -309,6 +285,7 @@ class LinkGraph:
             directed=directed,
             weighted=weighted,
             renumbered=renumber,
+            multi_edge=multigraph,
             self_loops=not drop_self_loops,
         )
         return cls(spark, edges, renumber_map, props, n)
@@ -366,6 +343,28 @@ class LinkGraph:
 
     # ------------------------------------------------------- point lookups
     # (reference ``simpleGraph.py:1226-1313``)
+    def is_multigraph(self) -> bool:
+        """Reference ``graph_classes.py:643-649, 804-810`` — True when
+        parallel edges are preserved (built via ``multigraph=True``)."""
+        return self.properties.multi_edge
+
+    def is_directed(self) -> bool:
+        return self.properties.directed
+
+    def density(self) -> float:
+        """|E| / (V·(V−1)) for directed, 2·|E| / (V·(V−1)) undirected.
+        Raises on multigraphs (reference ``graph_classes.py:811-823``:
+        parallel edges make the max-possible-edges denominator undefined)."""
+        if self.is_multigraph():
+            raise TypeError("The density function is not support on a Multigraph.")
+        v = self.number_of_vertices()
+        if v < 2:
+            return 0.0
+        e = self.number_of_edges()
+        # undirected graphs store both (u,v) and (v,u) internally, so |E|
+        # here is already 2x the logical edge count — same formula either way
+        return e / (v * (v - 1))
+
     def has_node(self, n) -> bool:
         if self.renumber_map is not None:
             return self.renumber_map.filter(F.col(EXT) == n).limit(1).count() > 0
@@ -411,16 +410,24 @@ class LinkGraph:
 
     # ------------------------------------------------------- conversions
     def to_undirected(self) -> "LinkGraph":
-        """Re-build with symmetrization (``graph_classes.py:690-747``)."""
+        """Re-build with symmetrization (``graph_classes.py:690-747``);
+        multigraphs stay multigraphs (MultiDiGraph.to_undirected →
+        MultiGraph)."""
         e = self.view_edge_list()
         return LinkGraph.from_edges(
-            e, weight=WGT if self.properties.weighted else None, directed=False
+            e,
+            weight=WGT if self.properties.weighted else None,
+            directed=False,
+            multigraph=self.properties.multi_edge,
         )
 
     def to_directed(self) -> "LinkGraph":
         e = self.view_edge_list()
         return LinkGraph.from_edges(
-            e, weight=WGT if self.properties.weighted else None, directed=True
+            e,
+            weight=WGT if self.properties.weighted else None,
+            directed=True,
+            multigraph=self.properties.multi_edge,
         )
 
     def to_pandas_edgelist(self):

@@ -33,19 +33,17 @@ Cost: O(diameter) supersteps, each sized k·V (state) + k·E (expansion) —
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, VID, LinkGraph, truncate_state
+from ..spill import spill_cleanup, spill_dir
 
 
-def _forward_layers(graph: LinkGraph, sources: DataFrame, spill_dir: str):
+def _forward_layers(graph: LinkGraph, sources: DataFrame, spill_root: str):
     """Run the multi-source sigma BFS; spill each layer [s, v, sigma] to
-    ``<spill_dir>/layer_<d>.parquet`` and return the list of paths."""
+    ``<spill_root>/layer_<d>.parquet`` (a shared-filesystem URI from
+    :func:`cugraph_spark.spill.spill_dir`) and return the list of frames."""
     spark = graph.spark
     n_part = graph.num_partitions
     edges = graph.edges.select(SRC, DST)
@@ -58,7 +56,7 @@ def _forward_layers(graph: LinkGraph, sources: DataFrame, spill_dir: str):
     paths = []
 
     def _spill(df: DataFrame, d: int) -> str:
-        p = os.path.join(spill_dir, f"layer_{d:04d}.parquet")
+        p = f"{spill_root}/layer_{d:04d}.parquet"
         df.write.mode("overwrite").parquet(p)
         return p
 
@@ -114,9 +112,9 @@ def _brandes(graph: LinkGraph, k, seed: int, want_edges: bool):
     edges = graph.edges.select(SRC, DST)
     sources, n_sources, n = _resolve_sources(graph, k, seed)
 
-    spill_dir = tempfile.mkdtemp(prefix="bc_layers_")
+    spill_root = spill_dir(graph.spark, "bc_layers_")
     try:
-        layers = _forward_layers(graph, sources, spill_dir)
+        layers = _forward_layers(graph, sources, spill_root)
 
         vacc = None  # running Σ_s δ(s, v) pieces
         vacc_persisted = None
@@ -209,7 +207,7 @@ def _brandes(graph: LinkGraph, k, seed: int, want_edges: bool):
             eacc_persisted.unpersist()
         return vertex_totals, edge_totals, n_sources, n
     finally:
-        shutil.rmtree(spill_dir, ignore_errors=True)
+        spill_cleanup(graph.spark, spill_root)
 
 
 def betweenness_centrality(

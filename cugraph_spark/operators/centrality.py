@@ -39,11 +39,18 @@ def hits(
     graph: LinkGraph,
     max_iter: int = 100,
     tol: float = 1e-5,
+    nstart: DataFrame | None = None,
     normalized: bool = True,
     unrenumber: bool = True,
 ) -> DataFrame:
     """DF[vertex, hubs, authorities] — alternating gathers, L1 normalize
-    each half-step (hits_impl.cuh:41-93), converge on Σ|hub−hub_old|."""
+    each half-step (hits_impl.cuh:41-93), converge on Σ|hub−hub_old|.
+
+    ``nstart`` (``link_analysis/hits.py:49-56``): DF[vertex, values] of
+    initial hub guesses in EXTERNAL ids; vertices absent from nstart keep
+    the uniform 1/V start.  HITS is a power iteration on AᵀA, so any
+    non-degenerate start converges to the same fixpoint — nstart shifts
+    the iteration count, not the answer."""
     n_part = graph.num_partitions
     V = graph.number_of_vertices()
     edges = graph.edges.select(SRC, DST)
@@ -51,6 +58,22 @@ def hits(
     state = graph.vertices().select(
         VID, F.lit(1.0 / V).alias("hub"), F.lit(1.0 / V).alias("auth")
     )
+    if nstart is not None:
+        g0 = nstart.select(
+            F.col("vertex").alias("_ext"), F.col("values").cast("double").alias("_h0")
+        )
+        if graph.renumber_map is not None:
+            from ..graph import EXT
+
+            g0 = g0.join(
+                graph.renumber_map.withColumnRenamed(EXT, "_ext"), "_ext"
+            ).select(VID, "_h0")
+        else:
+            g0 = g0.select(F.col("_ext").alias(VID), "_h0")
+        state = (
+            state.join(g0, VID, "left")
+            .select(VID, F.coalesce("_h0", "hub").alias("hub"), "auth")
+        )
     state = cached = truncate_state(state, n_part, VID)
 
     for it in range(max_iter):

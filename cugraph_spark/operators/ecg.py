@@ -94,8 +94,17 @@ def ecg(
 
     # ---- ensemble: one local-move level per seeded id permutation --------
     votes = None  # [a, b, same_cnt]
+    votes_base = None  # last compacted+persisted votes frame
     for r in range(ensemble_size):
-        a_r, b_r = _ENSEMBLE_PRIMES[r % len(_ENSEMBLE_PRIMES)]
+        idx = r
+        a_r, b_r = _ENSEMBLE_PRIMES[idx % len(_ENSEMBLE_PRIMES)]
+        while a_r % p == 0:
+            # a_r ≡ 0 (mod p) degenerates perm to the constant b_r (every
+            # pair co-clusters, corrupting this member's votes); the table
+            # holds distinct primes so at most one entry can equal p —
+            # advance to the next
+            idx += 1
+            a_r, b_r = _ENSEMBLE_PRIMES[idx % len(_ENSEMBLE_PRIMES)]
         perm = lambda c: (F.lit(a_r) * c + F.lit(b_r)) % F.lit(p)  # noqa: E731
         pboth = both.select(
             perm(F.col("i")).alias("i"), perm(F.col("j")).alias("j"), "w"
@@ -125,6 +134,12 @@ def ecg(
             new_votes = truncate_state(
                 votes.groupBy("a", "b").agg(F.sum("s").alias("s")), n_part, "a"
             )
+            # truncate_state materialized new_votes eagerly, so the prior
+            # compacted frame is no longer referenced — release it now
+            # rather than leaking ensemble_size/4 cached E-row frames
+            if votes_base is not None:
+                votes_base.unpersist()
+            votes_base = new_votes
             votes = new_votes
         comm.unpersist()
         pdeg.unpersist()

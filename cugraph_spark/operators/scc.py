@@ -23,6 +23,8 @@ round removes at least one SCC per color class).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,7 @@ def strongly_connected_components(
     max_outer: int = 50,
     max_inner: int = 200,
     unrenumber: bool = True,
+    fail_on_nonconvergence: bool = False,
 ) -> DataFrame:
     """DF[vertex, labels] — label = component's minimum-reachable root id
     class representative (stable across runs; component PARTITION equality
@@ -147,7 +150,20 @@ def strongly_connected_components(
     else:
         # max_outer exhausted: any still-unassigned vertex must not be
         # silently dropped — label each with itself (correct whenever the
-        # residual has only singleton SCCs; conservative otherwise)
+        # residual has only singleton SCCs; WRONG if a multi-vertex SCC
+        # remains, so the caller gets an explicit signal, mirroring
+        # pagerank's nonconvergence contract)
+        n_left = verts.count()
+        if n_left > 0:
+            msg = (
+                f"strongly_connected_components: max_outer={max_outer} "
+                f"exhausted with {n_left} unassigned vertices; labeling them "
+                "as singleton SCCs, which is wrong if the residual contains "
+                "a multi-vertex SCC. Raise max_outer."
+            )
+            if fail_on_nonconvergence:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         leftover = verts.select("v", F.col("v").alias("labels"))
         assigned = leftover if assigned is None else assigned.union(leftover)
 

@@ -25,13 +25,30 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, VID, LinkGraph, truncate_state
 
 
-def triangle_count(graph: LinkGraph, unrenumber: bool = True) -> DataFrame:
+def triangle_count(
+    graph: LinkGraph,
+    start_list=None,
+    unrenumber: bool = True,
+) -> DataFrame:
     """Return DF[vertex, counts]; requires an undirected graph
-    (``triangle_count.py:85-87`` raises on directed)."""
+    (``triangle_count.py:85-87`` raises on directed).
+
+    ``start_list`` (``triangle_count.py:45-122``): an int or list of
+    EXTERNAL vertex ids — counts are still computed over the whole graph
+    (a triangle through v involves vertices outside any start set), but
+    only the listed vertices' rows are returned."""
     if graph.properties.directed:
         raise ValueError(
             "input graph must be undirected (reference triangle_count.py:85-87)"
         )
+    if start_list is not None:
+        if isinstance(start_list, int):
+            start_list = [start_list]
+        if not isinstance(start_list, (list, tuple)):
+            raise TypeError(
+                "'start_list' must be an int, list or tuple "
+                "(reference triangle_count.py:88-99)"
+            )
     n_part = graph.num_partitions
 
     # canonical undirected pairs, self-loops excluded (impl.cuh:202-238)
@@ -136,6 +153,19 @@ def triangle_count(graph: LinkGraph, unrenumber: bool = True) -> DataFrame:
         .fillna(0, ["counts"])
         .select("vertex", F.col("counts").cast("long").alias("counts"))
     )
+    if start_list is not None:
+        # restrict OUTPUT rows to the start set (internal ids via the
+        # renumber map, as the reference's lookup_internal_vertex_id does)
+        sl = graph.spark.createDataFrame(
+            [(int(v),) for v in start_list], "ext_id LONG"
+        )
+        if graph.renumber_map is not None:
+            sl = sl.join(graph.renumber_map, "ext_id").select(
+                F.col(VID).alias("vertex")
+            )
+        else:
+            sl = sl.select(F.col("ext_id").alias("vertex"))
+        out = out.join(F.broadcast(sl), "vertex", "left_semi")
     oriented.unpersist()
     und.unpersist()
     if unrenumber:

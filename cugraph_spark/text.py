@@ -99,11 +99,21 @@ def _mod_hash(col, a: int, b: int):
 # --------------------------------------------------------------- exact dedup
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: [doc_id, dup_count] — the surviving (minimum)
-    doc_id per identical text, with the group size. One hash-groupBy; at
-    100 TB pre-aggregate on a 64-bit digest of the text instead of the full
-    string to shrink shuffle width (semantics identical for our corpus)."""
+    doc_id per identical text, with the group size.
+
+    Scale plan: group on a 128-bit digest (two independently-seeded
+    xxhash64 of the text), NOT the text itself — the shuffle row is then
+    ~24 bytes instead of a full web page, and the map-side partial
+    aggregation collapses local duplicates before any byte moves.  At 10^12
+    docs the expected number of colliding PAIRS is ~(10^12)^2 / 2^129 ≈
+    3·10^-15, so digest identity == text identity for any real corpus (a
+    byte-exact residual verify within digest groups would re-shuffle full
+    text for zero expected yield)."""
+    d1 = F.xxhash64(F.col(text_col))
+    d2 = F.xxhash64(F.lit(-6148914691236517205), F.col(text_col))  # 2nd seed
     return (
-        docs.groupBy(text_col)
+        docs.select("doc_id", d1.alias("_d1"), d2.alias("_d2"))
+        .groupBy("_d1", "_d2")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count("*").alias("dup_count"),

@@ -64,10 +64,19 @@ from cugraph_spark.graph import LinkGraph
 from cugraph_spark.operators import pagerank
 
 cores = int(sys.argv[1]); built = sys.argv[2]; iters = int(sys.argv[3])
+heap_gb = int(sys.argv[4])
+# shuffle partitions = 4x cores on BOTH legs: R-MAT degree skew makes the
+# hub-heavy hash partition a straggler at partitions == cores (no slack for
+# work-stealing); 4x dilutes it identically at either scale, mirroring the
+# 2-4 tasks/core rule of thumb for a real cluster.
 spark = get_spark("scaling_bench", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores,
+                  shuffle_partitions=4 * cores,
                   extra_conf={{"spark.ui.showConsoleProgress": "false",
-                              "spark.driver.memory": "32g"}})
+                              "spark.driver.memory": f"{{heap_gb}}g",
+                              # -Xms == -Xmx: heap-growth pauses otherwise
+                              # land as multi-second superstep outliers
+                              "spark.driver.extraJavaOptions":
+                                  f"-XX:+UseParallelGC -Xms{{heap_gb}}g"}})
 t0 = time.time()
 g = LinkGraph.from_edges(spark.read.parquet(built), directed=True,
                          renumber=False, dedup=False)
@@ -84,16 +93,22 @@ spark.stop()
 """
 
 
-def _sub(code: str, *args: str) -> str:
-    out = subprocess.run(
-        [sys.executable, "-c", code] + list(args),
-        capture_output=True, text=True, timeout=3600,
-    )
+def _sub(code: str, *args: str, pin_cores: int | None = None) -> str:
+    cmd = [sys.executable, "-c", code] + list(args)
+    if pin_cores:
+        # Pin the whole process tree (JVM + python workers) to exactly
+        # `pin_cores` physical CPUs.  Without this, the "8-core" leg's GC /
+        # JIT / netty / shuffle-IO threads silently use all 32 host CPUs
+        # and local[8] only bounds *task slots* — the pinned run is the
+        # honest analog of an N-executor cluster.
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     return out.stdout + "\n<<stderr>>\n" + out.stderr
 
 
-def run_leg(cores: int, built: str, iters: int) -> dict:
-    out = _sub(RUNNER.format(repo=REPO), str(cores), built, str(iters))
+def run_leg(cores: int, built: str, iters: int, heap_gb: int) -> dict:
+    out = _sub(RUNNER.format(repo=REPO), str(cores), built, str(iters),
+               str(heap_gb), pin_cores=cores)
     for line in out.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -118,9 +133,13 @@ def main():
     loads = {n_lo: [], n_hi: []}
     edges = None
     runs = []
+    # total heap scales with "cluster size": N executors hold 1/4 the
+    # aggregate memory of 4N executors, so the lo leg gets cores-proportional
+    # heap (1 GiB/core, the per-executor figure a real deployment would fix)
+    heap = {n_lo: max(4, n_lo), n_hi: max(4, n_hi)}
     for _ in range(repeats):
         for cores in (n_lo, n_hi):  # interleaved: ambient drift hits both
-            r = run_leg(cores, built, iters)
+            r = run_leg(cores, built, iters, heap[cores])
             edges = r["edges"]
             samples[cores].extend(r["iter_secs"][warmup:])
             loads[cores].append(r["load_sec"])
@@ -152,9 +171,14 @@ a/b/c = 0.57/0.19/0.19, the reference's own benchmark workload), generated
 and graph-built ONCE to parquet (build amortizes across the many analytic
 runs of a deployment; each leg re-partitions to its own core count).
 Legs are INTERLEAVED ({n_lo}, {n_hi}) × {repeats} fresh JVMs so ambient
-sandbox noise hits both equally; per-leg statistic = median per-iteration
-wall time pooled over {repeats} runs × {iters - warmup} post-warm-up
-supersteps:
+sandbox noise hits both equally; each leg is `taskset`-pinned to exactly its
+core count (local[{n_lo}] bounds only task slots — unpinned, the JVM's
+GC/JIT/shuffle-IO threads would still use all {n_hi} host CPUs, silently
+inflating the low leg) with heap ∝ cores ({heap[n_lo]}g / {heap[n_hi]}g —
+an N-executor cluster holds 1/4 the aggregate memory of 4N), Xms=Xmx, and
+shuffle partitions = 4× cores on both (hub-skew dilution / work stealing);
+per-leg statistic = median per-iteration wall time pooled over {repeats}
+runs × {iters - warmup} post-warm-up supersteps:
 
 | cores | edges | median sec/iter | edges/sec | pooled iteration samples (sorted, sec) |
 |---|---|---|---|---|
@@ -166,8 +190,9 @@ supersteps:
 sandbox stand-in for executors — shuffle partitioning is sized to cores in
 both runs, so the partition/shuffle discipline is what is being measured.)
 """
-    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
-        f.write(md)
+    if os.environ.get("SCALING_BENCH_MD", "1") != "0":  # 0 = experiment run
+        with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+            f.write(md)
 
 
 if __name__ == "__main__":
