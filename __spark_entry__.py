@@ -216,6 +216,30 @@ def _q_hits(spark, sf_dir):
     )
 
 
+def _q_hits_nstart(spark, sf_dir):
+    """hits(nstart=...) parity (link_analysis/hits.py:49-56): vertex 1
+    starts with hub mass 10, everyone else keeps the uniform 1/V start;
+    the oracle mirrors the seeded start exactly."""
+    g = _graph(spark, sf_dir)
+    ns = spark.createDataFrame([(1, 10.0)], "vertex LONG, values DOUBLE")
+    out = hits(g, max_iter=8, tol=0.0, nstart=ns)
+    return out.select(
+        F.col("vertex").cast("long"),
+        F.round("hubs", 6).alias("hubs"),
+        F.round("authorities", 6).alias("authorities"),
+    )
+
+
+def _q_triangles_start(spark, sf_dir):
+    """triangle_count(start_list=...) parity (community/
+    triangle_count.py:45-122): whole-graph counts, output restricted to
+    the start vertices."""
+    g = _graph(spark, sf_dir, directed=False)
+    return triangle_count(g, start_list=[1, 2, 3, 4, 5]).select(
+        F.col("vertex").cast("long"), F.col("counts").cast("long")
+    )
+
+
 def _q_katz(spark, sf_dir):
     g = _graph(spark, sf_dir)
     out = katz_centrality(g, alpha=0.005, beta=1.0, max_iter=8, tol=0.0)
@@ -451,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorensen": _q_sorensen,
         "degree_centrality": _q_degree_centrality,
         "hits": _q_hits,
+        "hits_nstart": _q_hits_nstart,
+        "triangles_start": _q_triangles_start,
         "katz": _q_katz,
         "eigenvector": _q_eigenvector,
         "core_number": _q_core_number,
@@ -933,11 +959,11 @@ FROM inter JOIN deg da ON da.v = fa JOIN deg db ON db.v = fb
 """
 
 
-def _sql_hits(iters: int = 8) -> str:
+def _sql_hits(iters: int = 8, h0_expr: str = "1.0/(SELECT n FROM nv)") -> str:
     parts = [
         f"WITH edges AS MATERIALIZED ({_EDGES}), verts AS MATERIALIZED ({_VERTS}),",
         "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) n FROM verts),",
-        "h0 AS MATERIALIZED (SELECT v, 1.0/(SELECT n FROM nv) AS hub FROM verts),",
+        f"h0 AS MATERIALIZED (SELECT v, {h0_expr} AS hub FROM verts),",
     ]
     for i in range(iters):
         parts.append(
@@ -1247,6 +1273,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "degree_centrality": _sql_degree_centrality(),
         "hits": _sql_hits(),
+        "hits_nstart": _sql_hits(
+            h0_expr="CASE WHEN v = 1 THEN 10.0 ELSE 1.0/(SELECT n FROM nv) END"
+        ),
+        "triangles_start": (
+            "SELECT * FROM (" + _sql_triangles() + ") WHERE vertex IN (1,2,3,4,5)"
+        ),
         "katz": _sql_katz(),
         "eigenvector": _sql_eigenvector(),
         "core_number": _sql_core_number(),

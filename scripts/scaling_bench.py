@@ -82,6 +82,10 @@ g = LinkGraph.from_edges(spark.read.parquet(built), directed=True,
                          renumber=False, dedup=False)
 E = g.number_of_edges()
 load_s = time.time() - t0
+# untimed JIT/codegen warmup (this host penalizes cold code paths 5-10x;
+# both legs warm identically so the ratio is unaffected either way)
+pagerank(g, alpha=0.85, max_iter=4, tol=0.0, unrenumber=False,
+         fail_on_nonconvergence=False, fuse=4).ranks.count()
 res = pagerank(g, alpha=0.85, max_iter=iters, tol=0.0, unrenumber=False,
                fail_on_nonconvergence=False, fuse=4)
 res.ranks.count()
@@ -120,8 +124,8 @@ def main():
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 3
-    iters = 10
-    warmup = 2  # per-run iterations dropped (JIT/codegen/cache-fill warm-up)
+    iters = 12  # 3 full fuse=4 blocks
+    warmup = 4  # drop the first block (cache-fill; JIT warmed separately)
     path = os.path.join(tempfile.gettempdir(), f"rmat_s{scale}.parquet")
     built = os.path.join(tempfile.gettempdir(), f"rmat_s{scale}_built.parquet")
     if not (os.path.exists(path) and os.path.exists(built)):
