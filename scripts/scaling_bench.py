@@ -65,18 +65,22 @@ from cugraph_spark.operators import pagerank
 
 cores = int(sys.argv[1]); built = sys.argv[2]; iters = int(sys.argv[3])
 heap_gb = int(sys.argv[4])
-# shuffle partitions = 4x cores on BOTH legs: R-MAT degree skew makes the
-# hub-heavy hash partition a straggler at partitions == cores (no slack for
-# work-stealing); 4x dilutes it identically at either scale, mirroring the
-# 2-4 tasks/core rule of thumb for a real cluster.
+# shuffle partitions = cores on both legs (1 task/slot/stage): measured
+# 4x-cores partitions cost the 32-core leg ~2x per superstep (scheduling +
+# AQE re-planning overhead at ~100 ms tasks dwarfs any skew-dilution gain —
+# AQE's skew-join splitting already handles the R-MAT hubs).
+# -Xms == -Xmx: heap-growth pauses otherwise land as multi-second superstep
+# outliers.  AllocateHeapAt=/dev/shm backs the heap with shmem pages: this
+# sandbox's hypervisor provisions anonymous pages at ~30 MB/s first-touch
+# but shmem pages at ~1 GB/s, so a shm-backed heap turns minutes of silent
+# fault stalls into seconds (on a real cluster the flag is simply dropped).
 spark = get_spark("scaling_bench", master=f"local[{{cores}}]",
-                  shuffle_partitions=4 * cores,
+                  shuffle_partitions=cores,
                   extra_conf={{"spark.ui.showConsoleProgress": "false",
                               "spark.driver.memory": f"{{heap_gb}}g",
-                              # -Xms == -Xmx: heap-growth pauses otherwise
-                              # land as multi-second superstep outliers
                               "spark.driver.extraJavaOptions":
-                                  f"-XX:+UseParallelGC -Xms{{heap_gb}}g"}})
+                                  f"-XX:+UseParallelGC -Xms{{heap_gb}}g "
+                                  f"-XX:AllocateHeapAt=/dev/shm"}})
 t0 = time.time()
 g = LinkGraph.from_edges(spark.read.parquet(built), directed=True,
                          renumber=False, dedup=False)
@@ -180,7 +184,7 @@ core count (local[{n_lo}] bounds only task slots — unpinned, the JVM's
 GC/JIT/shuffle-IO threads would still use all {n_hi} host CPUs, silently
 inflating the low leg) with heap ∝ cores ({heap[n_lo]}g / {heap[n_hi]}g —
 an N-executor cluster holds 1/4 the aggregate memory of 4N), Xms=Xmx, and
-shuffle partitions = 4× cores on both (hub-skew dilution / work stealing);
+shuffle partitions = cores on both (1 task/slot/stage);
 per-leg statistic = median per-iteration wall time pooled over {repeats}
 runs × {iters - warmup} post-warm-up supersteps:
 
