@@ -250,7 +250,27 @@ def pagerank(
     else:
         dangling = 0.0
 
-    edges = graph.edges  # [src, dst, weight] partitioned by src
+    # ---- narrow edge frame for the gather loop ----------------------------
+    # The per-superstep E-row gather is memory-bandwidth-bound at high core
+    # counts (profiled at R-MAT scale 23: 4 sequential join+groupBy stages
+    # dominate each fused block), so bytes scanned per edge are the scaling
+    # lever: internal vertex ids are dense, so they fit int whenever
+    # V < 2^31 (halves the id columns), and an unweighted graph's constant
+    # 1.0 weight column is dropped entirely (the gather then sums contrib
+    # directly).  24 B/edge -> 8 B/edge on the unweighted renumbered path.
+    # External semantics unchanged: ranks re-join the long-keyed state.
+    narrow_ids = V < (1 << 31)
+    w_mult = graph.properties.weighted
+    edges_owned = narrow_ids or not w_mult
+    if edges_owned:
+        _id = (lambda c: F.col(c).cast("int")) if narrow_ids else F.col
+        ecols = [_id(SRC).alias(SRC), _id(DST).alias(DST)]
+        if w_mult:
+            ecols.append(F.col(WGT))
+        edges = graph.edges.select(*ecols).repartition(n_part, SRC).persist()
+    else:
+        edges = graph.edges  # [src, dst, weight] partitioned by src
+    key_t = "int" if narrow_ids else "long"
     converged = False
     iterations = start_iter
     l1_history: list = []
@@ -303,13 +323,18 @@ def pagerank(
         new_state = None
         for j in range(k):
             contribs = cur.filter(F.col("out_wsum") > 0.0).select(
-                F.col(VID).alias(SRC),
+                F.col(VID).cast(key_t).alias(SRC),
                 (F.col("rank") / F.col("out_wsum")).alias("contrib"),
+            )
+            gather_expr = (
+                F.sum(F.col("contrib") * F.col(WGT))
+                if w_mult
+                else F.sum("contrib")
             )
             gathered = (
                 edges.join(contribs.hint("shuffle_hash"), SRC)
                 .groupBy(F.col(DST).alias(VID))
-                .agg(F.sum(F.col("contrib") * F.col(WGT)).alias("gather"))
+                .agg(gather_expr.alias("gather"))
             )
             if not pers:
                 new_rank = F.lit(alpha) * F.col("gather") + F.lit(c_js[j])
@@ -392,6 +417,8 @@ def pagerank(
     out = state.select(F.col(VID).alias("vertex"), F.col("rank").alias("pagerank"))
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
+    if edges_owned:
+        edges.unpersist()
     vbase.unpersist()
     for bf in beta_frames:
         bf.unpersist()
