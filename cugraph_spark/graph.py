@@ -40,44 +40,49 @@ EXT = "ext_id"
 def truncate_state(
     df: DataFrame, num_partitions: int | None = None, *key_cols: str
 ) -> DataFrame:
-    """Materialize per-iteration vertex state: optional repartition on the
-    caller's join keys → ``localCheckpoint(eager=True)`` (cuts lineage) →
-    ``persist``, with AQE left ON.  Callers must ``unpersist()`` the
-    previous state.
+    """Materialize per-iteration vertex state with runtime-EXACT statistics:
+    optional repartition on the caller's join keys →
+    ``localCheckpoint(eager=True)`` (cuts lineage) → ``persist`` →
+    ``count()`` (fills the columnar cache so its statistics go exact).
+    Callers must ``unpersist()`` the previous state.
 
-    Why this exact shape (round-2 postmortem — both tempting variants are
-    KNOWN BAD):
+    Why the trailing count (round-3 postmortem, supersedes round 2's):
+    ``localCheckpoint`` propagates the origin plan's sizeInBytes ESTIMATE
+    into the LogicalRDD, and a LAZY persist on top keeps exposing that
+    estimate until something materializes the cache.  An iterative plan
+    that multiplies the previous state's estimate through its join-stat
+    products then compounds it per superstep — measured on the karate
+    fixture: the narrow-edge PageRank shape DOUBLES the BigInteger digit
+    count every iteration (11 → 24 → 50 → … digits; Catalyst wedges in
+    BigInteger.multiply by ~iteration 60, and ``localCheckpoint`` throws
+    "BigInteger would overflow supported range" soon after), while the
+    round-2 shape merely grew linearly (~3 digits/iter) and happened to
+    survive.  Filling the cache immediately makes the InMemoryRelation
+    report its MATERIALIZED byte size, so every downstream planning pass
+    sees a small exact constant — digit growth is flat at ANY iteration
+    count (measured: 3 digits at iteration 200).  The count itself scans
+    the just-checkpointed local blocks once (V rows, no shuffle) — noise
+    next to the E-row gather each superstep pays — and the cache fill it
+    triggers would have happened on first use anyway.
 
-    * materializing with AQE OFF: ``localCheckpoint`` then inherits the
-      origin plan's sizeInBytes ESTIMATE into the LogicalRDD, and an
-      iterative plan that references the previous state k times raises the
-      estimate to the k-th power every superstep — the BigInteger doubles
-      in digit count per round until Catalyst spends minutes in BigInteger
-      multiplication (observed: HITS/WCC at ~iteration 20 in round 1,
-      Leiden refinement wedged near round 17 in round 2).  With AQE ON the
-      adaptive execution substitutes runtime-exact sizes into the
-      checkpointed LogicalRDD, so statistics stay flat at any iteration
-      count.
-    * rebuilding the frame over ``queryExecution().toRdd()`` via the
-      internal ``createDataFrame`` to zero the statistics: the row RDD
-      exposes REUSED mutable UnsafeRows, and downstream hash joins
-      silently return wrong results (observed: degree-orientation join
-      keeping 14 of 55 edges).
+    KNOWN-BAD alternative (round 2): rebuilding the frame over
+    ``queryExecution().toRdd()`` via the internal ``createDataFrame`` to
+    zero the statistics — that row RDD exposes REUSED mutable UnsafeRows,
+    and downstream hash joins silently return wrong results (observed: a
+    degree-orientation join keeping 14 of 55 edges).
 
-    So: AQE stays ON for the materialization (it injects runtime-exact
-    stats), the persist wraps the checkpointed rows so downstream plans
-    read the cache's actual size, and no V-row state can auto-broadcast
-    because the hot joins hint ``shuffle_hash`` explicitly.
-
-    ``localCheckpoint`` loses Catalyst's knowledge of the rows' physical
-    partitioning, so callers that need co-partitioned joins pass
-    ``num_partitions`` + ``key_cols`` to re-establish it (one V-row
-    exchange folded into the next superstep — cheap beside the E-row
-    gather).
+    No V-row state can auto-broadcast regardless of stats because the hot
+    joins hint ``shuffle_hash`` explicitly.  ``localCheckpoint`` loses
+    Catalyst's knowledge of the rows' physical partitioning, so callers
+    that need co-partitioned joins pass ``num_partitions`` + ``key_cols``
+    to re-establish it (one V-row exchange folded into the next superstep
+    — cheap beside the E-row gather).
     """
     if num_partitions and key_cols:
         df = df.repartition(num_partitions, *key_cols)
-    return df.localCheckpoint(eager=True).persist()
+    out = df.localCheckpoint(eager=True).persist()
+    out.count()
+    return out
 
 
 @dataclass

@@ -267,7 +267,12 @@ def pagerank(
         ecols = [_id(SRC).alias(SRC), _id(DST).alias(DST)]
         if w_mult:
             ecols.append(F.col(WGT))
-        edges = graph.edges.select(*ecols).repartition(n_part, SRC).persist()
+        # truncate_state, not a bare persist: a lazy persist leaves the
+        # frame's sizeInBytes as a chained ESTIMATE that every superstep
+        # referencing `edges` compounds until Catalyst's BigInteger
+        # overflows (~iteration 60; see truncate_state's postmortem).  The
+        # eager localCheckpoint pins runtime-exact stats once, up front.
+        edges = truncate_state(graph.edges.select(*ecols), n_part, SRC)
     else:
         edges = graph.edges  # [src, dst, weight] partitioned by src
     key_t = "int" if narrow_ids else "long"
