@@ -24,6 +24,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +84,39 @@ def truncate_state(
     out = df.localCheckpoint(eager=True).persist()
     out.count()
     return out
+
+
+@contextmanager
+def static_plan(spark: SparkSession, enabled: bool = True):
+    """Disable AQE for a large statically-partitioned iterative section.
+
+    The superstep plans (PageRank/WCC/LPA gathers) fix their partitioning
+    explicitly — every exchange is a hash repartition the engine chose, and
+    the hot joins carry ``shuffle_hash`` hints — so AQE has nothing left to
+    optimize.  What it still *does* is harmful at high core counts:
+    post-shuffle partition coalescing folds the E-row gather's shuffle
+    below the slot count (64 MB target per task), idling cores on exactly
+    the leg that has many of them, and per-stage re-planning inserts
+    core-count-independent driver latency at every materialization
+    barrier.  Measured (R-MAT scale 23, 131M edges, fuse=4, 32 shuffle
+    partitions): local[32] superstep 6.67 → 3.78 s/iter with AQE off,
+    while local[8] is nearly unchanged — AQE was the single largest
+    N→4N scaling-efficiency penalty.
+
+    Callers gate on graph size (small graphs *benefit* from coalescing —
+    fewer sub-second tasks to schedule), restore-on-exit keeps the
+    session's AQE default for everything outside the loop.
+    """
+    if not enabled:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 @dataclass

@@ -44,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, WGT, LinkGraph, truncate_state
+from ..graph import DST, SRC, VID, WGT, LinkGraph, static_plan, truncate_state
 
 # fuse="auto" engages fusion only at/above this edge count: below it the
 # beta-frame builds + block overshoot cost more than the amortized
@@ -283,134 +283,140 @@ def pagerank(
 
     single_mode = fuse_k == 1
     T_next: list | None = None  # block-start moments carried from observe
-    while iterations < max_iter:
-        k = 1 if single_mode else min(fuse_k, max_iter - iterations)
-        _t0 = time.time()
+    # AQE off for the big-graph loop: coalescing folds the gather's shuffle
+    # below the slot count and per-stage re-planning adds core-count-
+    # independent latency (see static_plan; measured 6.67 -> 3.78 s/iter at
+    # scale 23 on local[32]).  Small graphs keep AQE: coalescing sub-second
+    # tasks is a win there -- same threshold economics as fuse='auto'.
+    with static_plan(spark, enabled=graph.number_of_edges() >= FUSE_MIN_EDGES):
+        while iterations < max_iter:
+            k = 1 if single_mode else min(fuse_k, max_iter - iterations)
+            _t0 = time.time()
 
-        # ---- block-start scalars: the constant term of every step in the
-        # block, derived via the sink-flow recurrence (see docstring);
-        # moments come from the PREVIOUS block's observe — only the very
-        # first fused block pays a scalar fold job
-        if k > 1 and has_dangling:
-            if T_next is None:
-                T_next = [
-                    float(x or 0.0)
-                    for x in state.agg(
-                        *[F.sum(F.col("rank") * F.col(c)) for c in beta_cols]
-                    ).collect()[0]
-                ]
-            T = T_next[: k - 1]
-        else:
-            T = []
-        c_js = []
-        d_j = dangling
-        for j in range(k):
-            c_j = (alpha * d_j + (1.0 - alpha)) / V
-            c_js.append(c_j)
-            if j < k - 1:
-                if has_dangling:
-                    # d_{j+1} = α·Σ_v r_j·β_1 + c_j·n_sinks, with
-                    # T_{j+1}^m = α·T_j^{m+1} + c_j·B_m
-                    d_j = alpha * T[0] + c_j * n_sinks
-                    T = [
-                        alpha * T[m + 1] + c_j * B[m] for m in range(len(T) - 1)
+            # ---- block-start scalars: the constant term of every step in the
+            # block, derived via the sink-flow recurrence (see docstring);
+            # moments come from the PREVIOUS block's observe — only the very
+            # first fused block pays a scalar fold job
+            if k > 1 and has_dangling:
+                if T_next is None:
+                    T_next = [
+                        float(x or 0.0)
+                        for x in state.agg(
+                            *[F.sum(F.col("rank") * F.col(c)) for c in beta_cols]
+                        ).collect()[0]
                     ]
+                T = T_next[: k - 1]
+            else:
+                T = []
+            c_js = []
+            d_j = dangling
+            for j in range(k):
+                c_j = (alpha * d_j + (1.0 - alpha)) / V
+                c_js.append(c_j)
+                if j < k - 1:
+                    if has_dangling:
+                        # d_{j+1} = α·Σ_v r_j·β_1 + c_j·n_sinks, with
+                        # T_{j+1}^m = α·T_j^{m+1} + c_j·B_m
+                        d_j = alpha * T[0] + c_j * n_sinks
+                        T = [
+                            alpha * T[m + 1] + c_j * B[m] for m in range(len(T) - 1)
+                        ]
+                    else:
+                        d_j = 0.0
+
+            # ---- fused plan: k chained gathers, ONE materialization ----------
+            # pre-divide (pagerank_impl:249-261): contribution = rank/out_wsum;
+            # SHUFFLE_HASH everywhere — at web scale no V-row frame may funnel
+            # through the driver, and both state-side joins are already
+            # hash(id)-partitioned so the E-row groupBy is the only real
+            # exchange per step
+            cur = state
+            new_state = None
+            for j in range(k):
+                contribs = cur.filter(F.col("out_wsum") > 0.0).select(
+                    F.col(VID).cast(key_t).alias(SRC),
+                    (F.col("rank") / F.col("out_wsum")).alias("contrib"),
+                )
+                gather_expr = (
+                    F.sum(F.col("contrib") * F.col(WGT))
+                    if w_mult
+                    else F.sum("contrib")
+                )
+                gathered = (
+                    edges.join(contribs.hint("shuffle_hash"), SRC)
+                    .groupBy(F.col(DST).alias(VID))
+                    .agg(gather_expr.alias("gather"))
+                )
+                if not pers:
+                    new_rank = F.lit(alpha) * F.col("gather") + F.lit(c_js[j])
                 else:
-                    d_j = 0.0
-
-        # ---- fused plan: k chained gathers, ONE materialization ----------
-        # pre-divide (pagerank_impl:249-261): contribution = rank/out_wsum;
-        # SHUFFLE_HASH everywhere — at web scale no V-row frame may funnel
-        # through the driver, and both state-side joins are already
-        # hash(id)-partitioned so the E-row groupBy is the only real
-        # exchange per step
-        cur = state
-        new_state = None
-        for j in range(k):
-            contribs = cur.filter(F.col("out_wsum") > 0.0).select(
-                F.col(VID).cast(key_t).alias(SRC),
-                (F.col("rank") / F.col("out_wsum")).alias("contrib"),
-            )
-            gather_expr = (
-                F.sum(F.col("contrib") * F.col(WGT))
-                if w_mult
-                else F.sum("contrib")
-            )
-            gathered = (
-                edges.join(contribs.hint("shuffle_hash"), SRC)
-                .groupBy(F.col(DST).alias(VID))
-                .agg(gather_expr.alias("gather"))
-            )
-            if not pers:
-                new_rank = F.lit(alpha) * F.col("gather") + F.lit(c_js[j])
-            else:
-                mass = alpha * dangling + (1.0 - alpha)
-                new_rank = F.lit(alpha) * F.col("gather") + F.lit(mass) * F.col(
-                    "p_norm"
-                )
-            if j < k - 1:
-                cur = (
-                    state.select(VID, "out_wsum")
-                    .join(gathered.hint("shuffle_hash"), VID, "left")
-                    .fillna(0.0, ["gather"])
-                    .select(VID, "out_wsum", new_rank.alias("rank"))
-                )
-            else:
-                obs = Observation(f"pagerank_iter_{iterations}_{k}")
-                new_state = (
-                    state.select(VID, *static_cols, F.col("rank").alias("_old"))
-                    .join(gathered.hint("shuffle_hash"), VID, "left")
-                    .fillna(0.0, ["gather"])
-                    .select(VID, *static_cols, new_rank.alias("rank"), F.col("_old"))
-                    .observe(
-                        obs,
-                        F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("l1"),
-                        F.sum(
-                            F.when(F.col("out_wsum") == 0.0, F.col("rank")).otherwise(
-                                0.0
-                            )
-                        ).alias("dangling"),
-                        # next block's moments M_m = Σ rank·β_m — free on
-                        # this materialization instead of a dedicated job
-                        *[
-                            F.sum(F.col("rank") * F.col(c)).alias(f"_m{m}")
-                            for m, c in enumerate(beta_cols)
-                        ],
+                    mass = alpha * dangling + (1.0 - alpha)
+                    new_rank = F.lit(alpha) * F.col("gather") + F.lit(mass) * F.col(
+                        "p_norm"
                     )
-                    .drop("_old")
+                if j < k - 1:
+                    cur = (
+                        state.select(VID, "out_wsum")
+                        .join(gathered.hint("shuffle_hash"), VID, "left")
+                        .fillna(0.0, ["gather"])
+                        .select(VID, "out_wsum", new_rank.alias("rank"))
+                    )
+                else:
+                    obs = Observation(f"pagerank_iter_{iterations}_{k}")
+                    new_state = (
+                        state.select(VID, *static_cols, F.col("rank").alias("_old"))
+                        .join(gathered.hint("shuffle_hash"), VID, "left")
+                        .fillna(0.0, ["gather"])
+                        .select(VID, *static_cols, new_rank.alias("rank"), F.col("_old"))
+                        .observe(
+                            obs,
+                            F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("l1"),
+                            F.sum(
+                                F.when(F.col("out_wsum") == 0.0, F.col("rank")).otherwise(
+                                    0.0
+                                )
+                            ).alias("dangling"),
+                            # next block's moments M_m = Σ rank·β_m — free on
+                            # this materialization instead of a dedicated job
+                            *[
+                                F.sum(F.col("rank") * F.col(c)).alias(f"_m{m}")
+                                for m, c in enumerate(beta_cols)
+                            ],
+                        )
+                        .drop("_old")
+                    )
+            # re-key by id: the stats-neutral rebuild inside truncate_state
+            # loses partitioning knowledge, so re-establish hash(id) here — one
+            # V-row exchange folded into the materialization job
+            new_state = truncate_state(new_state, n_part, VID)
+            metrics = obs.get
+            l1 = float(metrics["l1"] or 0.0)  # k-step delta when k > 1
+            dangling = float(metrics["dangling"] or 0.0) if has_dangling else 0.0
+            if beta_cols:
+                T_next = [
+                    float(metrics[f"_m{m}"] or 0.0) for m in range(len(beta_cols))
+                ]
+
+            state.unpersist()
+            state = new_state
+            iterations += k
+            l1_history.append(l1)
+            dt = time.time() - _t0
+            iter_secs.extend([dt / k] * k)
+
+            if checkpointer is not None:
+                checkpointer.save(
+                    state.select(VID, "rank"), iterations, {"l1": l1, "dangling": dangling}
                 )
-        # re-key by id: the stats-neutral rebuild inside truncate_state
-        # loses partitioning knowledge, so re-establish hash(id) here — one
-        # V-row exchange folded into the materialization job
-        new_state = truncate_state(new_state, n_part, VID)
-        metrics = obs.get
-        l1 = float(metrics["l1"] or 0.0)  # k-step delta when k > 1
-        dangling = float(metrics["dangling"] or 0.0) if has_dangling else 0.0
-        if beta_cols:
-            T_next = [
-                float(metrics[f"_m{m}"] or 0.0) for m in range(len(beta_cols))
-            ]
 
-        state.unpersist()
-        state = new_state
-        iterations += k
-        l1_history.append(l1)
-        dt = time.time() - _t0
-        iter_secs.extend([dt / k] * k)
-
-        if checkpointer is not None:
-            checkpointer.save(
-                state.select(VID, "rank"), iterations, {"l1": l1, "dangling": dangling}
-            )
-
-        if tol > 0:
-            if k == 1 and l1 < tol:
-                converged = True
-                break
-            if k > 1 and l1 < tol * k * 10:
-                # near convergence: hand off to exact single-step checks so
-                # the stopping criterion is the reference's per-iteration L1
-                single_mode = True
+            if tol > 0:
+                if k == 1 and l1 < tol:
+                    converged = True
+                    break
+                if k > 1 and l1 < tol * k * 10:
+                    # near convergence: hand off to exact single-step checks so
+                    # the stopping criterion is the reference's per-iteration L1
+                    single_mode = True
 
     if tol <= 0:
         converged = True
