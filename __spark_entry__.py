@@ -293,7 +293,9 @@ def _q_ktruss(spark, sf_dir):
 
 
 def _q_louvain(spark, sf_dir):
-    g = _graph(spark, sf_dir)
+    # renumber=False so the SQL oracle's ids (and thus its move tie-breaks
+    # and parity alternation) line up with the engine's internal ids
+    g = _graph(spark, sf_dir, renumber=False)
     parts, _q = louvain(g, max_iter=10, max_levels=3)
     return parts.select(
         F.col("vertex").cast("long"), F.col("partition").cast("long")
@@ -831,6 +833,102 @@ FROM verts t LEFT JOIN acc a ON a.v = t.v"""
     return "".join(parts)
 
 
+def _sql_louvain(rounds: int = 10, levels: int = 3, gamma: float = 1.0) -> str:
+    """Exact unrolled mirror of :mod:`cugraph_spark.operators.louvain`
+    (synchronous parity-alternated local moving + coarsening).
+
+    Why an exact mirror is possible: every weight in the fixture is an
+    integer-valued double (edge multiplicities), so every SUM the engine
+    computes (kic, degree, sigma, 2m, coarsened weights) is exact in
+    binary64 regardless of summation order, and the modularity gain
+    ``kic − γ·k·(Σtot − δ·k)/2m`` is a single multiply + divide on exact
+    inputs — bit-identical between the JVM and DuckDB.  Ties therefore
+    break identically (gain DESC, community id ASC).
+
+    Control flow is unrolled statically, which is safe because the
+    engine's early exits are idempotent fixpoints: a local-move round
+    after two stable parities reproduces the same assignment, so running
+    all ``rounds`` rounds matches any early exit.  The level-advance
+    check (``n_comms < n_before``) is data-dependent and NOT idempotent
+    (coarsening by a non-reducing bijection would relabel the graph), so
+    each level's mapping composition is gated on a cumulative ``act``
+    flag that mirrors the engine's break exactly.
+    """
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES}),",
+        # canonical undirected weighted frame: both directed orientations
+        # of a pair collapse to one edge whose weight is the multiplicity
+        "e0 AS MATERIALIZED (SELECT LEAST(src, dst) a, GREATEST(src, dst) b,"
+        " CAST(COUNT(*) AS DOUBLE) w FROM edges GROUP BY 1, 2),",
+        "act0 AS MATERIALIZED (SELECT TRUE AS act),",
+    ]
+    for lv in range(levels):
+        parts += [
+            f"both{lv} AS MATERIALIZED (SELECT a i, b j, w FROM e{lv} WHERE a != b"
+            f" UNION ALL SELECT b, a, w FROM e{lv} WHERE a != b),",
+            # weighted degree; self-loops (post-coarsening) count twice
+            f"deg{lv} AS MATERIALIZED (SELECT i, SUM(wk) k FROM ("
+            f"SELECT i, w wk FROM both{lv}"
+            f" UNION ALL SELECT a, 2 * w FROM e{lv} WHERE a = b) GROUP BY i),",
+            f"tm{lv} AS MATERIALIZED (SELECT SUM(k) tm FROM deg{lv}),",
+            f"c{lv}_0 AS MATERIALIZED (SELECT i, i AS c FROM deg{lv}),",
+        ]
+        for r in range(rounds):
+            parts += [
+                # k_{i,c}: weight from i into each neighbouring community
+                f"kic{lv}_{r} AS MATERIALIZED (SELECT b.i, m.c, SUM(b.w) kic"
+                f" FROM both{lv} b JOIN c{lv}_{r} m ON m.i = b.j GROUP BY b.i, m.c),",
+                f"sig{lv}_{r} AS MATERIALIZED (SELECT m.c, SUM(d.k) sig"
+                f" FROM c{lv}_{r} m JOIN deg{lv} d ON d.i = m.i GROUP BY m.c),",
+                # candidates: neighbour communities plus staying put (kic=0)
+                f"cand{lv}_{r} AS MATERIALIZED (SELECT i, c, MAX(kic) kic FROM ("
+                f"SELECT i, c, kic FROM kic{lv}_{r}"
+                f" UNION ALL SELECT i, c, CAST(0.0 AS DOUBLE) FROM c{lv}_{r}"
+                f") GROUP BY i, c),",
+                f"pick{lv}_{r} AS MATERIALIZED (SELECT i, c AS new_c FROM ("
+                f"SELECT n.i, n.c, ROW_NUMBER() OVER (PARTITION BY n.i ORDER BY"
+                f" (n.kic - {gamma} * d.k *"
+                f" (s.sig - CASE WHEN n.c = m.c THEN d.k ELSE 0.0 END)"
+                f" / (SELECT tm FROM tm{lv})) DESC, n.c ASC) rn"
+                f" FROM cand{lv}_{r} n JOIN sig{lv}_{r} s ON s.c = n.c"
+                f" JOIN deg{lv} d ON d.i = n.i JOIN c{lv}_{r} m ON m.i = n.i"
+                f") WHERE rn = 1),",
+                # parity alternation: only i % 2 == round % 2 may move
+                f"c{lv}_{r + 1} AS MATERIALIZED (SELECT m.i,"
+                f" CASE WHEN m.i % 2 = {r % 2} THEN p.new_c ELSE m.c END AS c"
+                f" FROM c{lv}_{r} m JOIN pick{lv}_{r} p ON p.i = m.i),",
+            ]
+        parts.append(
+            f"act{lv + 1} AS MATERIALIZED (SELECT (SELECT act FROM act{lv}) AND"
+            f" (SELECT COUNT(DISTINCT c) FROM c{lv}_{rounds})"
+            f" < (SELECT COUNT(*) FROM deg{lv}) AS act),"
+        )
+        if lv == 0:
+            parts.append(
+                f"map0 AS MATERIALIZED (SELECT i AS orig, c AS cur FROM c0_{rounds}),"
+            )
+        else:
+            parts.append(
+                f"map{lv} AS MATERIALIZED (SELECT m.orig,"
+                f" CASE WHEN (SELECT act FROM act{lv}) THEN c2.c ELSE m.cur END AS cur"
+                f" FROM map{lv - 1} m LEFT JOIN c{lv}_{rounds} c2 ON c2.i = m.cur),"
+            )
+        if lv < levels - 1:
+            parts.append(
+                f"e{lv + 1} AS MATERIALIZED (SELECT LEAST(ca.c, cb.c) a,"
+                f" GREATEST(ca.c, cb.c) b, SUM(w) w FROM e{lv} e"
+                f" JOIN c{lv}_{rounds} ca ON ca.i = e.a"
+                f" JOIN c{lv}_{rounds} cb ON cb.i = e.b GROUP BY 1, 2),"
+            )
+    parts.append(
+        f"fin AS MATERIALIZED (SELECT orig AS v, cur AS p FROM map{levels - 1}),"
+        " canon AS MATERIALIZED (SELECT p, MIN(v) mc FROM fin GROUP BY p)"
+        ' SELECT CAST(f.v AS BIGINT) AS vertex, CAST(c.mc AS BIGINT) AS "partition"'
+        " FROM fin f JOIN canon c ON c.p = f.p"
+    )
+    return "\n".join(parts)
+
+
 def _sql_wcc() -> str:
     return f"""
 WITH RECURSIVE edges AS ({_EDGES}), verts AS ({_VERTS}),
@@ -1287,9 +1385,11 @@ def oracle_sql() -> dict[str, str]:
         "scc": _sql_scc(),
         "mst_summary": _sql_mst_summary(),
         "ktruss": _sql_ktruss(),
-        # louvain/leiden/ecg: no SQL oracle (multi-level optimization with
-        #   data-dependent early exit) → rows-only check; pytest carries
-        #   the modularity gates (Q ≥ networkx Louvain / Q_leiden ≥ Q_louvain)
+        # leiden/ecg: no SQL oracle (leiden's refinement phase and ecg's
+        #   permuted-ensemble voting are not SQL-mirrorable at reasonable
+        #   size) → rows-only check; pytest carries the modularity gates
+        #   (Q ≥ networkx Louvain / Q_leiden ≥ Q_louvain)
+        "louvain": _sql_louvain(),
         "betweenness": _sql_brandes(edge_form=False),
         "edge_betweenness": _sql_brandes(edge_form=True),
         "pagerank_personalized": _sql_pagerank_personalized(),
