@@ -332,7 +332,9 @@ def _q_pagerank_personalized(spark, sf_dir):
 
 
 def _q_leiden(spark, sf_dir):
-    g = _graph(spark, sf_dir)
+    # renumber=False: the SQL oracle's ids must match the engine's internal
+    # ids so move tie-breaks and parity alternation line up (see _q_louvain)
+    g = _graph(spark, sf_dir, renumber=False)
     parts, _q = leiden(g, max_iter=10, max_levels=3)
     return parts.select(
         F.col("vertex").cast("long"), F.col("partition").cast("long")
@@ -833,6 +835,110 @@ FROM verts t LEFT JOIN acc a ON a.v = t.v"""
     return "".join(parts)
 
 
+def _move_rounds(
+    tag: str, both_cte: str, deg_cte: str, tm_cte: str, rounds: int, gamma: float
+) -> tuple[list[str], str]:
+    """Unrolled rounds of the engine's synchronous parity-alternated local
+    moving (``louvain._local_move``) starting from CTE ``{tag}c0`` [i, c];
+    returns (CTE parts, final community CTE name).  ``both_cte`` supplies
+    the kic edge frame (the full frame for normal moving, the
+    intra-community frame for Leiden refinement)."""
+    parts = []
+    for r in range(rounds):
+        parts += [
+            # k_{i,c}: weight from i into each neighbouring community
+            f"{tag}k{r} AS MATERIALIZED (SELECT b.i, m.c, SUM(b.w) kic"
+            f" FROM {both_cte} b JOIN {tag}c{r} m ON m.i = b.j GROUP BY b.i, m.c),",
+            f"{tag}s{r} AS MATERIALIZED (SELECT m.c, SUM(d.k) sig"
+            f" FROM {tag}c{r} m JOIN {deg_cte} d ON d.i = m.i GROUP BY m.c),",
+            # candidates: neighbour communities plus staying put (kic=0)
+            f"{tag}n{r} AS MATERIALIZED (SELECT i, c, MAX(kic) kic FROM ("
+            f"SELECT i, c, kic FROM {tag}k{r}"
+            f" UNION ALL SELECT i, c, CAST(0.0 AS DOUBLE) FROM {tag}c{r}"
+            f") GROUP BY i, c),",
+            f"{tag}p{r} AS MATERIALIZED (SELECT i, c AS new_c FROM ("
+            f"SELECT n.i, n.c, ROW_NUMBER() OVER (PARTITION BY n.i ORDER BY"
+            f" (n.kic - {gamma} * d.k *"
+            f" (s.sig - CASE WHEN n.c = m.c THEN d.k ELSE 0.0 END)"
+            f" / (SELECT tm FROM {tm_cte})) DESC, n.c ASC) rn"
+            f" FROM {tag}n{r} n JOIN {tag}s{r} s ON s.c = n.c"
+            f" JOIN {deg_cte} d ON d.i = n.i JOIN {tag}c{r} m ON m.i = n.i"
+            f") WHERE rn = 1),",
+            # parity alternation: only i % 2 == round % 2 may move
+            f"{tag}c{r + 1} AS MATERIALIZED (SELECT m.i,"
+            f" CASE WHEN m.i % 2 = {r % 2} THEN p.new_c ELSE m.c END AS c"
+            f" FROM {tag}c{r} m JOIN {tag}p{r} p ON p.i = m.i),",
+        ]
+    return parts, f"{tag}c{rounds}"
+
+
+def _level_frames(p: str, lv: int) -> list[str]:
+    """Per-level both/deg/2m frames over edge CTE ``{p}e{lv}`` (canonical
+    undirected [a, b, w]; self-loops from coarsening count twice in k)."""
+    e = f"{p}e{lv}"
+    return [
+        f"{p}both{lv} AS MATERIALIZED (SELECT a i, b j, w FROM {e} WHERE a != b"
+        f" UNION ALL SELECT b, a, w FROM {e} WHERE a != b),",
+        f"{p}deg{lv} AS MATERIALIZED (SELECT i, SUM(wk) k FROM ("
+        f"SELECT i, w wk FROM {p}both{lv}"
+        f" UNION ALL SELECT a, 2 * w FROM {e} WHERE a = b) GROUP BY i),",
+        f"{p}tm{lv} AS MATERIALIZED (SELECT SUM(k) tm FROM {p}deg{lv}),",
+    ]
+
+
+def _louvain_block(
+    p: str, rounds: int, levels: int, gamma: float
+) -> tuple[list[str], str]:
+    """CTE block mirroring the engine's Louvain level loop (``_levels``)
+    over a pre-existing canonical undirected edge CTE ``{p}e0``; returns
+    (parts, final mapping CTE name) with mapping columns (orig, cur).
+
+    The level-advance check (``n_comms < n_before``) is data-dependent and
+    NOT idempotent under static unrolling (coarsening by a non-reducing
+    bijection would relabel the graph), so each level's mapping composition
+    is gated on a cumulative ``act`` flag mirroring the engine's break."""
+    parts = [f"{p}act0 AS MATERIALIZED (SELECT TRUE AS act),"]
+    for lv in range(levels):
+        parts += _level_frames(p, lv)
+        parts.append(
+            f"{p}L{lv}c0 AS MATERIALIZED (SELECT i, i AS c FROM {p}deg{lv}),"
+        )
+        mv, fin = _move_rounds(
+            f"{p}L{lv}", f"{p}both{lv}", f"{p}deg{lv}", f"{p}tm{lv}", rounds, gamma
+        )
+        parts += mv
+        parts.append(
+            f"{p}act{lv + 1} AS MATERIALIZED (SELECT (SELECT act FROM {p}act{lv})"
+            f" AND (SELECT COUNT(DISTINCT c) FROM {fin})"
+            f" < (SELECT COUNT(*) FROM {p}deg{lv}) AS act),"
+        )
+        if lv == 0:
+            parts.append(
+                f"{p}map0 AS MATERIALIZED (SELECT i AS orig, c AS cur FROM {fin}),"
+            )
+        else:
+            parts.append(
+                f"{p}map{lv} AS MATERIALIZED (SELECT m.orig,"
+                f" CASE WHEN (SELECT act FROM {p}act{lv}) THEN c2.c ELSE m.cur END"
+                f" AS cur FROM {p}map{lv - 1} m"
+                f" LEFT JOIN {fin} c2 ON c2.i = m.cur),"
+            )
+        if lv < levels - 1:
+            parts.append(
+                f"{p}e{lv + 1} AS MATERIALIZED (SELECT LEAST(ca.c, cb.c) a,"
+                f" GREATEST(ca.c, cb.c) b, SUM(w) w FROM {p}e{lv} e"
+                f" JOIN {fin} ca ON ca.i = e.a"
+                f" JOIN {fin} cb ON cb.i = e.b GROUP BY 1, 2),"
+            )
+    return parts, f"{p}map{levels - 1}"
+
+
+_CANON_UND = (
+    "SELECT LEAST(src, dst) a, GREATEST(src, dst) b,"
+    " CAST(COUNT(*) AS DOUBLE) w FROM edges GROUP BY 1, 2"
+)
+
+
 def _sql_louvain(rounds: int = 10, levels: int = 3, gamma: float = 1.0) -> str:
     """Exact unrolled mirror of :mod:`cugraph_spark.operators.louvain`
     (synchronous parity-alternated local moving + coarsening).
@@ -848,83 +954,151 @@ def _sql_louvain(rounds: int = 10, levels: int = 3, gamma: float = 1.0) -> str:
     Control flow is unrolled statically, which is safe because the
     engine's early exits are idempotent fixpoints: a local-move round
     after two stable parities reproduces the same assignment, so running
-    all ``rounds`` rounds matches any early exit.  The level-advance
-    check (``n_comms < n_before``) is data-dependent and NOT idempotent
-    (coarsening by a non-reducing bijection would relabel the graph), so
-    each level's mapping composition is gated on a cumulative ``act``
-    flag that mirrors the engine's break exactly.
+    all ``rounds`` rounds matches any early exit; the non-idempotent
+    level-advance break is mirrored by ``_louvain_block``'s act gates.
     """
     parts = [
         f"WITH edges AS MATERIALIZED ({_EDGES}),",
-        # canonical undirected weighted frame: both directed orientations
-        # of a pair collapse to one edge whose weight is the multiplicity
-        "e0 AS MATERIALIZED (SELECT LEAST(src, dst) a, GREATEST(src, dst) b,"
-        " CAST(COUNT(*) AS DOUBLE) w FROM edges GROUP BY 1, 2),",
-        "act0 AS MATERIALIZED (SELECT TRUE AS act),",
+        f"ve0 AS MATERIALIZED ({_CANON_UND}),",
     ]
-    for lv in range(levels):
-        parts += [
-            f"both{lv} AS MATERIALIZED (SELECT a i, b j, w FROM e{lv} WHERE a != b"
-            f" UNION ALL SELECT b, a, w FROM e{lv} WHERE a != b),",
-            # weighted degree; self-loops (post-coarsening) count twice
-            f"deg{lv} AS MATERIALIZED (SELECT i, SUM(wk) k FROM ("
-            f"SELECT i, w wk FROM both{lv}"
-            f" UNION ALL SELECT a, 2 * w FROM e{lv} WHERE a = b) GROUP BY i),",
-            f"tm{lv} AS MATERIALIZED (SELECT SUM(k) tm FROM deg{lv}),",
-            f"c{lv}_0 AS MATERIALIZED (SELECT i, i AS c FROM deg{lv}),",
-        ]
-        for r in range(rounds):
-            parts += [
-                # k_{i,c}: weight from i into each neighbouring community
-                f"kic{lv}_{r} AS MATERIALIZED (SELECT b.i, m.c, SUM(b.w) kic"
-                f" FROM both{lv} b JOIN c{lv}_{r} m ON m.i = b.j GROUP BY b.i, m.c),",
-                f"sig{lv}_{r} AS MATERIALIZED (SELECT m.c, SUM(d.k) sig"
-                f" FROM c{lv}_{r} m JOIN deg{lv} d ON d.i = m.i GROUP BY m.c),",
-                # candidates: neighbour communities plus staying put (kic=0)
-                f"cand{lv}_{r} AS MATERIALIZED (SELECT i, c, MAX(kic) kic FROM ("
-                f"SELECT i, c, kic FROM kic{lv}_{r}"
-                f" UNION ALL SELECT i, c, CAST(0.0 AS DOUBLE) FROM c{lv}_{r}"
-                f") GROUP BY i, c),",
-                f"pick{lv}_{r} AS MATERIALIZED (SELECT i, c AS new_c FROM ("
-                f"SELECT n.i, n.c, ROW_NUMBER() OVER (PARTITION BY n.i ORDER BY"
-                f" (n.kic - {gamma} * d.k *"
-                f" (s.sig - CASE WHEN n.c = m.c THEN d.k ELSE 0.0 END)"
-                f" / (SELECT tm FROM tm{lv})) DESC, n.c ASC) rn"
-                f" FROM cand{lv}_{r} n JOIN sig{lv}_{r} s ON s.c = n.c"
-                f" JOIN deg{lv} d ON d.i = n.i JOIN c{lv}_{r} m ON m.i = n.i"
-                f") WHERE rn = 1),",
-                # parity alternation: only i % 2 == round % 2 may move
-                f"c{lv}_{r + 1} AS MATERIALIZED (SELECT m.i,"
-                f" CASE WHEN m.i % 2 = {r % 2} THEN p.new_c ELSE m.c END AS c"
-                f" FROM c{lv}_{r} m JOIN pick{lv}_{r} p ON p.i = m.i),",
-            ]
-        parts.append(
-            f"act{lv + 1} AS MATERIALIZED (SELECT (SELECT act FROM act{lv}) AND"
-            f" (SELECT COUNT(DISTINCT c) FROM c{lv}_{rounds})"
-            f" < (SELECT COUNT(*) FROM deg{lv}) AS act),"
-        )
-        if lv == 0:
-            parts.append(
-                f"map0 AS MATERIALIZED (SELECT i AS orig, c AS cur FROM c0_{rounds}),"
-            )
-        else:
-            parts.append(
-                f"map{lv} AS MATERIALIZED (SELECT m.orig,"
-                f" CASE WHEN (SELECT act FROM act{lv}) THEN c2.c ELSE m.cur END AS cur"
-                f" FROM map{lv - 1} m LEFT JOIN c{lv}_{rounds} c2 ON c2.i = m.cur),"
-            )
-        if lv < levels - 1:
-            parts.append(
-                f"e{lv + 1} AS MATERIALIZED (SELECT LEAST(ca.c, cb.c) a,"
-                f" GREATEST(ca.c, cb.c) b, SUM(w) w FROM e{lv} e"
-                f" JOIN c{lv}_{rounds} ca ON ca.i = e.a"
-                f" JOIN c{lv}_{rounds} cb ON cb.i = e.b GROUP BY 1, 2),"
-            )
+    blk, fmap = _louvain_block("v", rounds, levels, gamma)
+    parts += blk
     parts.append(
-        f"fin AS MATERIALIZED (SELECT orig AS v, cur AS p FROM map{levels - 1}),"
+        f"fin AS MATERIALIZED (SELECT orig AS v, cur AS p FROM {fmap}),"
         " canon AS MATERIALIZED (SELECT p, MIN(v) mc FROM fin GROUP BY p)"
         ' SELECT CAST(f.v AS BIGINT) AS vertex, CAST(c.mc AS BIGINT) AS "partition"'
         " FROM fin f JOIN canon c ON c.p = f.p"
+    )
+    return "\n".join(parts)
+
+
+def _sql_leiden(rounds: int = 10, levels: int = 3, gamma: float = 1.0) -> str:
+    """Exact unrolled mirror of :mod:`cugraph_spark.operators.leiden`:
+    per level a SEEDED local move (previous level's coarse assignment),
+    a REFINEMENT restart from singletons restricted to intra-community
+    edges (same degree/2m frame, per the engine), piece canonicalization
+    to min member id, then coarsening by the refined partition; finally
+    the compound-move POLISH (Louvain level loop over the community graph
+    of the original frame) with the better-of-two modularity gate.  Same
+    exact-arithmetic argument as :func:`_sql_louvain`; the only inexact
+    comparison is the final q_pol > q_orig gate, which only matters when
+    the two partitions differ, where Q gaps dwarf summation rounding."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES}),",
+        f"le0 AS MATERIALIZED ({_CANON_UND}),",
+        "lact0 AS MATERIALIZED (SELECT TRUE AS act),",
+    ]
+    for lv in range(levels):
+        parts += _level_frames("l", lv)
+        # 1. local move, seeded with the previous level's coarse assignment
+        if lv == 0:
+            parts.append(
+                f"lM{lv}c0 AS MATERIALIZED (SELECT i, i AS c FROM ldeg{lv}),"
+            )
+        else:
+            parts.append(
+                f"lM{lv}c0 AS MATERIALIZED (SELECT d.i, COALESCE(s.c, d.i) AS c"
+                f" FROM ldeg{lv} d LEFT JOIN lsd{lv - 1} s ON s.i = d.i),"
+            )
+        mv, cfin = _move_rounds(
+            f"lM{lv}", f"lboth{lv}", f"ldeg{lv}", f"ltm{lv}", rounds, gamma
+        )
+        parts += mv
+        # 2. refinement: singleton restart on intra-community edges (full
+        # degree and 2m frames, exactly like the engine's _local_move call)
+        parts += [
+            f"lintra{lv} AS MATERIALIZED (SELECT b.i, b.j, b.w FROM lboth{lv} b"
+            f" JOIN {cfin} ci ON ci.i = b.i JOIN {cfin} cj ON cj.i = b.j"
+            f" WHERE ci.c = cj.c),",
+            f"lR{lv}c0 AS MATERIALIZED (SELECT i, i AS c FROM ldeg{lv}),",
+        ]
+        rv, rfin = _move_rounds(
+            f"lR{lv}", f"lintra{lv}", f"ldeg{lv}", f"ltm{lv}", rounds, gamma
+        )
+        parts += rv
+        parts += [
+            # canonicalize refined piece labels to min member id
+            f"lrc{lv} AS MATERIALIZED (SELECT c, MIN(i) rc FROM {rfin} GROUP BY c),",
+            f"lref{lv} AS MATERIALIZED (SELECT m.i, n.rc AS r FROM {rfin} m"
+            f" JOIN lrc{lv} n ON n.c = m.c),",
+            # coarse community of each refined piece (next level's seed)
+            f"lsd{lv} AS MATERIALIZED (SELECT r.r AS i, MIN(cm.c) AS c"
+            f" FROM lref{lv} r JOIN {cfin} cm ON cm.i = r.i GROUP BY r.r),",
+            f"lact{lv + 1} AS MATERIALIZED (SELECT (SELECT act FROM lact{lv}) AND"
+            f" (SELECT COUNT(DISTINCT r) FROM lref{lv})"
+            f" < (SELECT COUNT(*) FROM ldeg{lv}) AS act),",
+        ]
+        if lv == 0:
+            parts.append(
+                "lmap0 AS MATERIALIZED (SELECT i AS orig, r AS cur FROM lref0),"
+            )
+        else:
+            parts.append(
+                f"lmap{lv} AS MATERIALIZED (SELECT m.orig,"
+                f" CASE WHEN (SELECT act FROM lact{lv}) THEN c2.r ELSE m.cur END"
+                f" AS cur FROM lmap{lv - 1} m LEFT JOIN lref{lv} c2 ON c2.i = m.cur),"
+            )
+        # assignment candidate if this were the last executed level
+        parts.append(
+            f"lasg{lv} AS MATERIALIZED (SELECT m.orig, COALESCE(t.c, m.cur) AS c"
+            f" FROM lmap{lv} m LEFT JOIN lsd{lv} t ON t.i = m.cur),"
+        )
+        if lv < levels - 1:
+            # 3. coarsen by the REFINED partition
+            parts.append(
+                f"le{lv + 1} AS MATERIALIZED (SELECT LEAST(ra.r, rb.r) a,"
+                f" GREATEST(ra.r, rb.r) b, SUM(w) w FROM le{lv} e"
+                f" JOIN lref{lv} ra ON ra.i = e.a"
+                f" JOIN lref{lv} rb ON rb.i = e.b GROUP BY 1, 2),"
+            )
+    # deepest EXECUTED level's assignment (act_lv <=> level lv ran)
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN (SELECT act FROM lact{lv}) THEN a{lv}.c"
+            for lv in range(levels - 1, 0, -1)
+        )
+        + " ELSE a0.c END"
+    )
+    joins = " ".join(
+        f"JOIN lasg{lv} a{lv} ON a{lv}.orig = a0.orig" for lv in range(1, levels)
+    )
+    parts.append(
+        f"lsel AS MATERIALIZED (SELECT a0.orig AS v, {case} AS c"
+        f" FROM lasg0 a0 {joins}),"
+    )
+    # 4. compound-move polish: Louvain level loop over the community graph
+    parts.append(
+        "pe0 AS MATERIALIZED (SELECT LEAST(ca.c, cb.c) a, GREATEST(ca.c, cb.c) b,"
+        " SUM(w) w FROM le0 e JOIN lsel ca ON ca.v = e.a"
+        " JOIN lsel cb ON cb.v = e.b GROUP BY 1, 2),"
+    )
+    blk, pmap = _louvain_block("p", rounds, levels, gamma)
+    parts += blk
+    parts.append(
+        f"mpol AS MATERIALIZED (SELECT s.v, COALESCE(p.cur, s.c) AS c"
+        f" FROM lsel s LEFT JOIN {pmap} p ON p.orig = s.c),"
+    )
+    # modularity of both assignments over the ORIGINAL frame (le0 has no
+    # self-loops, so Q = in_both/2m − γ·Σ(sig/2m)²)
+    for nm, src in (("qa", "lsel"), ("qb", "mpol")):
+        parts.append(
+            f"{nm} AS MATERIALIZED (SELECT"
+            f" COALESCE((SELECT SUM(b.w) FROM lboth0 b"
+            f" JOIN {src} x ON x.v = b.i JOIN {src} y ON y.v = b.j"
+            f" WHERE x.c = y.c), 0.0) / (SELECT tm FROM ltm0)"
+            f" - {gamma} * COALESCE((SELECT"
+            f" SUM((sig / (SELECT tm FROM ltm0)) * (sig / (SELECT tm FROM ltm0)))"
+            f" FROM (SELECT SUM(d.k) sig FROM {src} x"
+            f" JOIN ldeg0 d ON d.i = x.v GROUP BY x.c)), 0.0) AS q),"
+        )
+    parts.append(
+        "lfin AS MATERIALIZED (SELECT s.v,"
+        " CASE WHEN (SELECT q FROM qb) > (SELECT q FROM qa) THEN m.c ELSE s.c END"
+        " AS c FROM lsel s JOIN mpol m ON m.v = s.v),"
+        " lcanon AS MATERIALIZED (SELECT c, MIN(v) mc FROM lfin GROUP BY c)"
+        ' SELECT CAST(f.v AS BIGINT) AS vertex, CAST(c.mc AS BIGINT) AS "partition"'
+        " FROM lfin f JOIN lcanon c ON c.c = f.c"
     )
     return "\n".join(parts)
 
@@ -1385,11 +1559,11 @@ def oracle_sql() -> dict[str, str]:
         "scc": _sql_scc(),
         "mst_summary": _sql_mst_summary(),
         "ktruss": _sql_ktruss(),
-        # leiden/ecg: no SQL oracle (leiden's refinement phase and ecg's
-        #   permuted-ensemble voting are not SQL-mirrorable at reasonable
-        #   size) → rows-only check; pytest carries the modularity gates
-        #   (Q ≥ networkx Louvain / Q_leiden ≥ Q_louvain)
+        # ecg: no SQL oracle (permuted-ensemble voting over 4 independent
+        #   single-level runs is not SQL-mirrorable at reasonable size) →
+        #   rows-only check; pytest carries its partition-quality gate
         "louvain": _sql_louvain(),
+        "leiden": _sql_leiden(),
         "betweenness": _sql_brandes(edge_form=False),
         "edge_betweenness": _sql_brandes(edge_form=True),
         "pagerank_personalized": _sql_pagerank_personalized(),
