@@ -342,7 +342,8 @@ def _q_leiden(spark, sf_dir):
 
 
 def _q_ecg(spark, sf_dir):
-    g = _graph(spark, sf_dir)
+    # renumber=False: oracle ids must match engine internal ids (see louvain)
+    g = _graph(spark, sf_dir, renumber=False)
     parts, _q = ecg(g, ensemble_size=4, max_iter=6)
     return parts.select(
         F.col("vertex").cast("long"), F.col("partition").cast("long")
@@ -1103,6 +1104,98 @@ def _sql_leiden(rounds: int = 10, levels: int = 3, gamma: float = 1.0) -> str:
     return "\n".join(parts)
 
 
+def _sql_ecg(
+    ensemble: int = 4,
+    rounds: int = 6,
+    levels: int = 10,
+    min_weight: float = 0.05,
+    gamma: float = 1.0,
+) -> str:
+    """Exact unrolled mirror of :mod:`cugraph_spark.operators.ecg`: one
+    single-level local move per seeded id permutation ``(a_r·i + b_r) mod
+    p`` (p = smallest prime > V, computed in SQL; the a_r % p != 0 guard
+    mirrored by first-valid-index selection), co-membership votes per
+    canonical edge, reweight ``min_w + (1−min_w)·s/E``, then the full
+    Louvain level loop on the reweighted graph (whose undirected build
+    doubles each canonical weight — exact ×2 in binary64).
+
+    Unlike louvain/leiden, the final phase sums NON-integer weights, so
+    its sums carry order-dependent last-ulp rounding; the mirror is exact
+    unless two candidate communities tie in real arithmetic, which the
+    sf fixtures do not exhibit (validated empirically)."""
+    prime_pairs = [
+        (0, 1299721, 7), (1, 15485863, 13), (2, 32452843, 29),
+        (3, 49979687, 41), (4, 67867967, 53), (5, 86028121, 67),
+        (6, 104395301, 79), (7, 122949823, 97),
+    ]
+    vals = ", ".join(f"({i}, {a}, {b})" for i, a, b in prime_pairs)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES}),",
+        f"ee0 AS MATERIALIZED ({_CANON_UND}),",
+        # level-0 frames (no self-loops at level 0: src != dst upstream)
+        "eboth AS MATERIALIZED (SELECT a i, b j, w FROM ee0"
+        " UNION ALL SELECT b, a, w FROM ee0),",
+        "edeg AS MATERIALIZED (SELECT i, SUM(w) k FROM eboth GROUP BY i),",
+        "etm AS MATERIALIZED (SELECT SUM(k) tm FROM edeg),",
+        "env AS MATERIALIZED (SELECT COUNT(*) n FROM edeg),",
+        # smallest prime > V (mirrors _next_prime_above)
+        "epr AS MATERIALIZED (SELECT MIN(x) p FROM range(2, 3000) t(x)"
+        " WHERE x > (SELECT n FROM env) AND NOT EXISTS"
+        " (SELECT 1 FROM range(2, 60) d(y) WHERE y * y <= x AND x % y = 0)),",
+        f"etab AS MATERIALIZED (SELECT * FROM (VALUES {vals}) t(idx, pa, pb)),",
+    ]
+    vote_units = []
+    for r in range(ensemble):
+        parts += [
+            # first table index >= r whose multiplier is nonzero mod p
+            f"esel{r} AS MATERIALIZED (SELECT pa, pb FROM etab WHERE idx >= {r}"
+            f" AND pa % (SELECT p FROM epr) != 0 ORDER BY idx LIMIT 1),",
+            f"eb{r} AS MATERIALIZED (SELECT"
+            f" ((SELECT pa FROM esel{r}) * i + (SELECT pb FROM esel{r}))"
+            f" % (SELECT p FROM epr) AS i,"
+            f" ((SELECT pa FROM esel{r}) * j + (SELECT pb FROM esel{r}))"
+            f" % (SELECT p FROM epr) AS j, w FROM eboth),",
+            f"ed{r} AS MATERIALIZED (SELECT"
+            f" ((SELECT pa FROM esel{r}) * i + (SELECT pb FROM esel{r}))"
+            f" % (SELECT p FROM epr) AS i, k FROM edeg),",
+            f"eM{r}c0 AS MATERIALIZED (SELECT i, i AS c FROM ed{r}),",
+        ]
+        mv, cfin = _move_rounds(f"eM{r}", f"eb{r}", f"ed{r}", "etm", rounds, gamma)
+        parts += mv
+        parts.append(
+            f"ev{r} AS MATERIALIZED (SELECT e.a, e.b,"
+            f" CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END s FROM ee0 e"
+            f" JOIN {cfin} ca ON ca.i ="
+            f" ((SELECT pa FROM esel{r}) * e.a + (SELECT pb FROM esel{r}))"
+            f" % (SELECT p FROM epr)"
+            f" JOIN {cfin} cb ON cb.i ="
+            f" ((SELECT pa FROM esel{r}) * e.b + (SELECT pb FROM esel{r}))"
+            f" % (SELECT p FROM epr)),"
+        )
+        vote_units.append(f"SELECT a, b, s FROM ev{r}")
+    parts.append(
+        f"evotes AS MATERIALIZED (SELECT a, b, SUM(s) s FROM"
+        f" ({' UNION ALL '.join(vote_units)}) GROUP BY a, b),"
+    )
+    # reweight, then the undirected LinkGraph build + louvain's canonical
+    # re-aggregation doubles each weight (w + w, exact in binary64)
+    parts.append(
+        f"fe0 AS MATERIALIZED (SELECT e.a, e.b,"
+        f" ({min_weight} + (1.0 - {min_weight}) * (CAST(v.s AS DOUBLE) / {float(ensemble)}))"
+        f" + ({min_weight} + (1.0 - {min_weight}) * (CAST(v.s AS DOUBLE) / {float(ensemble)}))"
+        f" AS w FROM ee0 e JOIN evotes v ON v.a = e.a AND v.b = e.b),"
+    )
+    blk, fmap = _louvain_block("f", rounds, levels, gamma)
+    parts += blk
+    parts.append(
+        f"fin AS MATERIALIZED (SELECT orig AS v, cur AS p FROM {fmap}),"
+        " canon AS MATERIALIZED (SELECT p, MIN(v) mc FROM fin GROUP BY p)"
+        ' SELECT CAST(f.v AS BIGINT) AS vertex, CAST(c.mc AS BIGINT) AS "partition"'
+        " FROM fin f JOIN canon c ON c.p = f.p"
+    )
+    return "\n".join(parts)
+
+
 def _sql_wcc() -> str:
     return f"""
 WITH RECURSIVE edges AS ({_EDGES}), verts AS ({_VERTS}),
@@ -1559,11 +1652,9 @@ def oracle_sql() -> dict[str, str]:
         "scc": _sql_scc(),
         "mst_summary": _sql_mst_summary(),
         "ktruss": _sql_ktruss(),
-        # ecg: no SQL oracle (permuted-ensemble voting over 4 independent
-        #   single-level runs is not SQL-mirrorable at reasonable size) →
-        #   rows-only check; pytest carries its partition-quality gate
         "louvain": _sql_louvain(),
         "leiden": _sql_leiden(),
+        "ecg": _sql_ecg(),
         "betweenness": _sql_brandes(edge_form=False),
         "edge_betweenness": _sql_brandes(edge_form=True),
         "pagerank_personalized": _sql_pagerank_personalized(),
