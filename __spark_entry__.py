@@ -1146,32 +1146,37 @@ def _sql_ecg(
     ]
     vote_units = []
     for r in range(ensemble):
+        # CONSTANTS AS CROSS JOINS, never scalar subqueries inside hot
+        # expressions or join conditions: DuckDB re-evaluates a correlated
+        # scalar subquery per probe row and the per-evaluation allocation
+        # blew past 19 GB RSS / 400 s on the sf0.01 fixture (observed OOM
+        # poisoning the NEXT oracle in the driver's shared connection); a
+        # one-row cross join folds to the same constant with zero overhead.
         parts += [
             # first table index >= r whose multiplier is nonzero mod p
-            f"esel{r} AS MATERIALIZED (SELECT pa, pb FROM etab WHERE idx >= {r}"
-            f" AND pa % (SELECT p FROM epr) != 0 ORDER BY idx LIMIT 1),",
-            f"eb{r} AS MATERIALIZED (SELECT"
-            f" ((SELECT pa FROM esel{r}) * i + (SELECT pb FROM esel{r}))"
-            f" % (SELECT p FROM epr) AS i,"
-            f" ((SELECT pa FROM esel{r}) * j + (SELECT pb FROM esel{r}))"
-            f" % (SELECT p FROM epr) AS j, w FROM eboth),",
-            f"ed{r} AS MATERIALIZED (SELECT"
-            f" ((SELECT pa FROM esel{r}) * i + (SELECT pb FROM esel{r}))"
-            f" % (SELECT p FROM epr) AS i, k FROM edeg),",
+            f"esel{r} AS MATERIALIZED (SELECT t.pa, t.pb, q.p FROM etab t"
+            f" CROSS JOIN epr q WHERE t.idx >= {r}"
+            f" AND t.pa % q.p != 0 ORDER BY t.idx LIMIT 1),",
+            f"eb{r} AS MATERIALIZED (SELECT (s.pa * e.i + s.pb) % s.p AS i,"
+            f" (s.pa * e.j + s.pb) % s.p AS j, e.w"
+            f" FROM eboth e CROSS JOIN esel{r} s),",
+            f"ed{r} AS MATERIALIZED (SELECT (s.pa * d.i + s.pb) % s.p AS i,"
+            f" d.k FROM edeg d CROSS JOIN esel{r} s),",
             f"eM{r}c0 AS MATERIALIZED (SELECT i, i AS c FROM ed{r}),",
         ]
         mv, cfin = _move_rounds(f"eM{r}", f"eb{r}", f"ed{r}", "etm", rounds, gamma)
         parts += mv
-        parts.append(
+        parts += [
+            # permuted endpoints as plain columns so the vote join hashes
+            f"epm{r} AS MATERIALIZED (SELECT e.a, e.b,"
+            f" (s.pa * e.a + s.pb) % s.p AS qa,"
+            f" (s.pa * e.b + s.pb) % s.p AS qb"
+            f" FROM ee0 e CROSS JOIN esel{r} s),",
             f"ev{r} AS MATERIALIZED (SELECT e.a, e.b,"
-            f" CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END s FROM ee0 e"
-            f" JOIN {cfin} ca ON ca.i ="
-            f" ((SELECT pa FROM esel{r}) * e.a + (SELECT pb FROM esel{r}))"
-            f" % (SELECT p FROM epr)"
-            f" JOIN {cfin} cb ON cb.i ="
-            f" ((SELECT pa FROM esel{r}) * e.b + (SELECT pb FROM esel{r}))"
-            f" % (SELECT p FROM epr)),"
-        )
+            f" CASE WHEN ca.c = cb.c THEN 1 ELSE 0 END s FROM epm{r} e"
+            f" JOIN {cfin} ca ON ca.i = e.qa"
+            f" JOIN {cfin} cb ON cb.i = e.qb),",
+        ]
         vote_units.append(f"SELECT a, b, s FROM ev{r}")
     parts.append(
         f"evotes AS MATERIALIZED (SELECT a, b, SUM(s) s FROM"
