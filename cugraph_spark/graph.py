@@ -86,6 +86,14 @@ def truncate_state(
     return out
 
 
+# Edge-count threshold above which iterative operators run their superstep
+# loops under static_plan (AQE off).  Matches pagerank's FUSE_MIN_EDGES
+# economics: below it, AQE's post-shuffle coalescing of sub-second tasks is
+# a win; above it, coalescing folds the gather below the slot count and
+# idles cores on exactly the high-core leg (measured at R-MAT scale 23).
+STATIC_PLAN_MIN_EDGES = 20_000_000
+
+
 @contextmanager
 def static_plan(spark: SparkSession, enabled: bool = True):
     """Disable AQE for a large statically-partitioned iterative section.

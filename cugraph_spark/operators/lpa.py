@@ -25,7 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, LinkGraph, truncate_state
+from ..graph import (
+    DST,
+    SRC,
+    STATIC_PLAN_MIN_EDGES,
+    VID,
+    LinkGraph,
+    static_plan,
+    truncate_state,
+)
 
 
 def label_propagation(
@@ -59,46 +67,49 @@ def label_propagation(
             start_iter, labels = resumed
             labels = truncate_state(labels, n_part, VID)
 
-    for it in range(start_iter, max_iter):
-        nbr_votes = edges.join(
-            labels.select(F.col(VID).alias(SRC), "label").hint("shuffle_hash"), SRC
-        ).select(F.col(DST).alias(VID), "label")
-        self_votes = labels.select(VID, "label")
-        counts = (
-            nbr_votes.union(self_votes)
-            .groupBy(VID, "label")
-            .agg(F.count("*").alias("c"))
-        )
-        # argmax by (count desc, label asc): max_by over struct(c, -label)
-        picked = counts.groupBy(VID).agg(
-            F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("new_label")
-        )
-        obs = Observation(f"lpa_iter_{it}")
-        new_labels = truncate_state(
-            labels.select(VID, F.col("label").alias("_old"))
-            .join(picked.hint("shuffle_hash"), VID, "left")
-            .select(
+    # AQE off for big-graph loops, same economics as pagerank's superstep
+    # gate (see static_plan).
+    with static_plan(spark, enabled=graph.number_of_edges() >= STATIC_PLAN_MIN_EDGES):
+        for it in range(start_iter, max_iter):
+            nbr_votes = edges.join(
+                labels.select(F.col(VID).alias(SRC), "label").hint("shuffle_hash"), SRC
+            ).select(F.col(DST).alias(VID), "label")
+            self_votes = labels.select(VID, "label")
+            counts = (
+                nbr_votes.union(self_votes)
+                .groupBy(VID, "label")
+                .agg(F.count("*").alias("c"))
+            )
+            # argmax by (count desc, label asc): max_by over struct(c, -label)
+            picked = counts.groupBy(VID).agg(
+                F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("new_label")
+            )
+            obs = Observation(f"lpa_iter_{it}")
+            new_labels = truncate_state(
+                labels.select(VID, F.col("label").alias("_old"))
+                .join(picked.hint("shuffle_hash"), VID, "left")
+                .select(
+                    VID,
+                    F.coalesce(F.col("new_label"), F.col("_old")).alias("label"),
+                    F.col("_old"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
+                    ).alias("changed"),
+                )
+                .drop("_old"),
+                n_part,
                 VID,
-                F.coalesce(F.col("new_label"), F.col("_old")).alias("label"),
-                F.col("_old"),
             )
-            .observe(
-                obs,
-                F.sum(
-                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
-                ).alias("changed"),
-            )
-            .drop("_old"),
-            n_part,
-            VID,
-        )
-        changed = int(obs.get["changed"] or 0)
-        labels.unpersist()
-        labels = new_labels
-        if checkpointer is not None:
-            checkpointer.save(labels, it + 1, {"changed": changed})
-        if changed == 0:
-            break
+            changed = int(obs.get["changed"] or 0)
+            labels.unpersist()
+            labels = new_labels
+            if checkpointer is not None:
+                checkpointer.save(labels, it + 1, {"changed": changed})
+            if changed == 0:
+                break
 
     if owned:
         edges.unpersist()

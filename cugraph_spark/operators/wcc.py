@@ -26,7 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, LinkGraph, truncate_state
+from ..graph import (
+    DST,
+    SRC,
+    STATIC_PLAN_MIN_EDGES,
+    VID,
+    LinkGraph,
+    static_plan,
+    truncate_state,
+)
 
 
 def weakly_connected_components(
@@ -62,52 +70,56 @@ def weakly_connected_components(
             start_iter, labels = resumed
             labels = truncate_state(labels, n_part, VID)
 
-    for it in range(start_iter, max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col(VID).alias(SRC), "label").hint("shuffle_hash"), SRC
-            )
-            .groupBy(F.col(DST).alias(VID))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.select(VID, F.col("label").alias("_old"))
-            .join(nbr_min.hint("shuffle_hash"), VID, "left")
-            .select(
-                VID,
-                F.least(F.col("_old"), F.coalesce(F.col("nbr_label"), F.col("_old"))).alias("label"),
-                F.col("_old"),
-            )
-        )
-        if shortcutting:
-            # pointer jumping: label ← label(label). label ids are vertex ids,
-            # so one self-join against the fresh labels collapses chains.
-            lab_of_lab = new_labels.select(
-                F.col(VID).alias("label"), F.col("label").alias("label2")
+    # AQE off for big-graph loops, same economics as pagerank's superstep
+    # gate (see static_plan): post-shuffle coalescing folds the per-round
+    # gather below the slot count at high core counts.
+    with static_plan(spark, enabled=graph.number_of_edges() >= STATIC_PLAN_MIN_EDGES):
+        for it in range(start_iter, max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col(VID).alias(SRC), "label").hint("shuffle_hash"), SRC
+                )
+                .groupBy(F.col(DST).alias(VID))
+                .agg(F.min("label").alias("nbr_label"))
             )
             new_labels = (
-                new_labels.join(lab_of_lab, "label", "left")
+                labels.select(VID, F.col("label").alias("_old"))
+                .join(nbr_min.hint("shuffle_hash"), VID, "left")
                 .select(
                     VID,
-                    F.coalesce(F.col("label2"), F.col("label")).alias("label"),
+                    F.least(F.col("_old"), F.coalesce(F.col("nbr_label"), F.col("_old"))).alias("label"),
                     F.col("_old"),
                 )
             )
-        # changed-count rides the materialization job via observe — no
-        # separate comparison job per round
-        obs = Observation(f"wcc_iter_{it}")
-        new_labels = new_labels.observe(
-            obs,
-            F.sum(F.when(F.col("label") != F.col("_old"), 1).otherwise(0)).alias("changed"),
-        ).drop("_old")
-        new_labels = truncate_state(new_labels, n_part, VID)
-        changed = int(obs.get["changed"] or 0)
-        labels.unpersist()
-        labels = new_labels
-        if checkpointer is not None:
-            checkpointer.save(labels, it + 1, {"changed": changed})
-        if changed == 0:
-            break
+            if shortcutting:
+                # pointer jumping: label ← label(label). label ids are vertex ids,
+                # so one self-join against the fresh labels collapses chains.
+                lab_of_lab = new_labels.select(
+                    F.col(VID).alias("label"), F.col("label").alias("label2")
+                )
+                new_labels = (
+                    new_labels.join(lab_of_lab, "label", "left")
+                    .select(
+                        VID,
+                        F.coalesce(F.col("label2"), F.col("label")).alias("label"),
+                        F.col("_old"),
+                    )
+                )
+            # changed-count rides the materialization job via observe — no
+            # separate comparison job per round
+            obs = Observation(f"wcc_iter_{it}")
+            new_labels = new_labels.observe(
+                obs,
+                F.sum(F.when(F.col("label") != F.col("_old"), 1).otherwise(0)).alias("changed"),
+            ).drop("_old")
+            new_labels = truncate_state(new_labels, n_part, VID)
+            changed = int(obs.get["changed"] or 0)
+            labels.unpersist()
+            labels = new_labels
+            if checkpointer is not None:
+                checkpointer.save(labels, it + 1, {"changed": changed})
+            if changed == 0:
+                break
 
     if owned_edges:
         edges.unpersist()
