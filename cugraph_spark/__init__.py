@@ -5,7 +5,7 @@ pandas-UDF kernels, explicit partitioning/skew handling, per-iteration
 checkpointing. Not a port — see SURVEY.md for the mapping.
 """
 
-from . import multimodal, text, vector
+from . import csr, multimodal, text, vector
 from .graph import GraphProperties, LinkGraph, symmetrize_edges
 from .session import get_spark
 
@@ -17,5 +17,6 @@ __all__ = [
     "text",
     "vector",
     "multimodal",
+    "csr",
 ]
 __version__ = "0.1.0"
