@@ -167,6 +167,247 @@ def hyperplane_band_keys(
     )
 
 
+def embedding_neardup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """[vec_a, vec_b, cosine] — embedding-cosine near-duplicate pairs
+    (a < b): candidates collide on ≥1 LSH band exactly or within Hamming
+    distance ``probe_bits`` (one-sided multi-probe), verified with exact
+    cosine ≥ ``threshold``.
+
+    The dedup-by-meaning member of the near-dup family (exact / MinHash /
+    SimHash / n-gram Jaccard live in :mod:`cugraph_spark.text`): at 100 TB
+    the all-pairs cosine is unrunnable, but near-duplicates at the
+    threshold collide on a probed band with high probability, so the band
+    equi-join keeps candidate count O(N · bucket occupancy · n_masks).
+    At cosine exactly 0.9 a raw 8-bit band collides with p≈0.29 (recall
+    1-(1-p)^8 ≈ 0.93 in theory, ~0.81 measured with quantization);
+    Hamming-1 probing lifts per-band collision to ≈0.68 → recall ≳0.99 at
+    a 9× candidate fan-out on one side only.
+    """
+    rows_per_band = n_planes // n_bands
+    bands = hyperplane_band_keys(emb, n_planes, n_bands, id_col, vec_col)
+    masks = probe_masks(rows_per_band, probe_bits)
+    if len(masks) > 1:
+        flips = F.array(*[F.lit(m) for m in masks])
+        l = bands.select(
+            F.col(id_col).alias("vec_a"),
+            "band",
+            F.explode(flips).alias("_f"),
+            "bkey",
+        ).select(
+            "vec_a", "band", F.col("bkey").bitwiseXOR(F.col("_f")).alias("bkey")
+        )
+    else:
+        l = bands.select(F.col(id_col).alias("vec_a"), "band", "bkey")
+    r = bands.select(F.col(id_col).alias("vec_b"), "band", "bkey")
+    cand = (
+        l.join(r, ["band", "bkey"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("id"), vec.alias("v"), _norm(vec).alias("n"))
+    return (
+        cand.join(
+            base.select(F.col("id").alias("vec_a"), F.col("v").alias("av"), F.col("n").alias("an")),
+            "vec_a",
+        )
+        .join(
+            base.select(F.col("id").alias("vec_b"), F.col("v").alias("bv"), F.col("n").alias("bn")),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ IVF ANN
+IVF_A, IVF_B = 48611, 102953  # seed-selection hash (a·id + b) mod P
+
+
+def _quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """[id, xq] — per-vector integer-quantized components
+    (``round(x·1e6)`` as array<double> of exact integer values): folds over
+    these arrays are over EXACT inputs in index order, so every score is
+    bit-identical in any engine."""
+    vec = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec, lambda x: F.round(x * F.lit(QUANT)).cast("double")).alias("xq"),
+    )
+
+
+def _cell_score(xq, cq, round_digits: int = 4):
+    """Cosine-up-to-a-per-row-constant between a quantized vector and a
+    centroid: dot(xq, cq) / ‖cq‖ — the ‖xq‖ factor is constant within an
+    argmax over cells, so it cancels.  Rounded so the argmax tie-break is
+    engine-independent."""
+    return F.round(
+        _dot(xq, cq) / F.sqrt(_dot(cq, cq)), round_digits
+    )
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF coarse quantizer: returns ``(assign, centroids)`` —
+    ``assign``: [id, cell]; ``centroids``: [cell, cq: array<double>].
+
+    Deterministic, engine-mirrorable k-means-lite:
+
+    1. seeds = the ``n_cells`` vectors with smallest ``(48611·id + 102953)
+       mod P`` (hash order ≈ uniform sample; tie-break id),
+    2. assign every vector to the max-cosine seed (quantized integer dot,
+       tie-break smallest cell),
+    3. one Lloyd step: centroid = per-component SUM of member vectors
+       (exact integer sums — order-free; the un-normalized sum points the
+       same direction as the mean, and cosine only needs direction),
+    4. re-assign to the refined centroids.
+
+    Scale: the centroid table is n_cells × dim — broadcast-sized by
+    construction; both assignment passes are a broadcast join + one
+    groupBy, never a shuffle of the corpus by anything but id.
+    """
+    q = _quantized(emb, id_col, vec_col)
+    h = (F.lit(IVF_A) * F.col("id") + F.lit(IVF_B)) % F.lit(P)
+    seeds = (
+        q.select("id", "xq", h.alias("_h"))
+        .orderBy("_h", "id")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("_h", "id")
+    seed_c = seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("cell"),
+        F.col("xq").alias("cq"),
+    )
+
+    def assign_to(centroids: DataFrame) -> DataFrame:
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "id",
+            "cell",
+            _cell_score(F.col("xq"), F.col("cq")).alias("s"),
+        )
+        return scored.groupBy("id").agg(
+            F.max_by("cell", F.struct(F.col("s"), -F.col("cell"))).alias("cell")
+        )
+
+    a0 = assign_to(seed_c)
+    # Lloyd step: exact integer component sums per cell, floor-mean
+    # normalized (cq = ⌊Σx / n⌋ via the pmod identity, pure integer-valued
+    # double ops identical in any engine) so every later dot-product
+    # addend stays an exact integer < 2^53 — a raw component SUM would
+    # overflow exactness at |cell| ≫ 1 and make fold order observable.
+    # Components reassembled in order via sort_array on (j, mean) structs.
+    comp = (
+        q.join(a0, "id")
+        .select("cell", F.posexplode("xq").alias("j", "x"))
+        .groupBy("cell", "j")
+        .agg(F.sum("x").alias("cs"), F.count("*").alias("cn"))
+    )
+    fmean = (
+        F.col("cs") - (((F.col("cs") % F.col("cn")) + F.col("cn")) % F.col("cn"))
+    ) / F.col("cn")
+    cent = (
+        comp.select("cell", "j", fmean.alias("cm"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "cm"))), lambda s: s["cm"]
+            ).alias("cq")
+        )
+    )
+    return assign_to(cent), cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """[query_id, neighbor_id, cosine, rank] — IVF approximate top-k: each
+    query probes its ``n_probe`` best cells of the coarse quantizer
+    (:func:`ivf_cells`); candidates are the vectors ASSIGNED to a probed
+    cell; exact cosine + ranking only within candidates.
+
+    The second scale path next to :func:`lsh_topk` (FAISS-style IVF-Flat
+    re-expressed as DataFrame ops): candidate count is
+    O(N · n_probe / n_cells) per query on balanced cells — tune
+    ``n_cells ≈ √N`` and ``n_probe`` for the recall target.  The centroid
+    table broadcasts (n_cells × dim); the probe join shuffles only
+    (query, cell) pairs, never vectors.
+    """
+    assign, cent = ivf_cells(emb, n_cells, id_col, vec_col)
+    q = _quantized(emb, id_col, vec_col)
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "id", "cell", _cell_score(F.col("xq"), F.col("cq")).alias("s")
+    )
+    wp = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cell").asc())
+    probes = (
+        scored.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select(F.col("id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assign.select(F.col("id").alias("neighbor_id"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    base = emb.select(F.col(id_col).alias("id"), vec.alias("v"), _norm(vec).alias("n"))
+    sims = (
+        cand.join(
+            base.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("n").alias("qn")),
+            "query_id",
+        )
+        .join(
+            base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("n").alias("cn")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
