@@ -60,6 +60,7 @@ from cugraph_spark.operators import (  # noqa: E402
     sorensen_w,
     strongly_connected_components,
 )
+from cugraph_spark import streaming as st  # noqa: E402
 from cugraph_spark import text as tx  # noqa: E402
 from cugraph_spark import vector as vec  # noqa: E402
 
@@ -465,6 +466,47 @@ def _q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    out = vec.embedding_neardup(_emb(spark, sf_dir), threshold=0.4)
+    return out.select(
+        F.col("vec_a").cast("long"),
+        F.col("vec_b").cast("long"),
+        (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+    )
+
+
+def _q_ivf_topk(spark, sf_dir):
+    out = vec.ivf_topk(_emb(spark, sf_dir), k=5, n_cells=16, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        (F.col("cosine") + F.lit(0.0)).alias("cosine"),
+        F.col("rank").cast("int"),
+    )
+
+
+_STREAM_SINK_N = 0
+
+
+def _q_stream_user_totals(spark, sf_dir):
+    """Streaming driver query: per-user running totals from the
+    applyInPandasWithState operator over the events table replayed as a
+    file-source stream (Trigger.AvailableNow).  The whole table arrives as
+    one drop → one micro-batch → exactly one emission per key, equal to
+    the batch aggregate, so the DuckDB oracle is a plain GROUP BY."""
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    sdf = st.stateful_totals(st.stream_events(spark, f"{sf_dir}/events.parquet"))
+    out = st.run_available_now(
+        sdf, f"t_entry_user_totals_{_STREAM_SINK_N}", output_mode="update"
+    )
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("n_events").cast("long"),
+        (F.col("sum_value") + F.lit(0.0)).alias("sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -509,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "embedding_topk": _q_embedding_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_ivf_topk": _q_ivf_topk,
+        "stream_user_totals": _q_stream_user_totals,
     }
 
 
@@ -687,6 +732,130 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
 FROM sims
 QUALIFY rank <= {k}
+"""
+
+
+def _sql_embedding_neardup(
+    threshold: float = 0.4,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    probe_bits: int = 1,
+) -> str:
+    """Exact SQL mirror of :func:`cugraph_spark.vector.embedding_neardup`
+    — same integer band keys as the lsh_topk oracle, one-sided Hamming-≤1
+    probe on the vec_a side, pair order a < b, exact rounded cosine at the
+    threshold."""
+    rows = n_planes // n_bands
+    flips = vec.probe_masks(rows, probe_bits)
+    q = vec.QUANT
+    a1, b1 = 1299721, 15485863
+    a2, b2 = 48271, 11
+    p = vec.P
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (SELECT id, generate_subscripts(v, 1) - 1 AS j,
+                CAST(ROUND(unnest(v) * {q}) AS BIGINT) AS xq,
+                len(v) AS dim
+         FROM base),
+proj AS (SELECT id, t.pi AS pi,
+                SUM(CASE WHEN (({a2} * (({a1} * (t.pi * dim + j) + {b1}) % {p})
+                               + {b2}) % {p}) % 2 = 1
+                    THEN xq ELSE -xq END) AS dot
+         FROM comp CROSS JOIN range({n_planes}) t(pi)
+         GROUP BY id, t.pi),
+bk AS (SELECT id, CAST(pi // {rows} AS INT) AS band,
+              SUM(CASE WHEN dot > 0
+                  THEN CAST(POWER(2, pi % {rows}) AS BIGINT) ELSE 0 END) AS bkey
+       FROM proj GROUP BY id, pi // {rows}),
+probes AS (SELECT id, band, xor(bkey, f.f) AS bkey
+           FROM bk CROSS JOIN (SELECT CAST(unnest({flips}) AS BIGINT) AS f) f),
+cand AS (SELECT DISTINCT l.id AS vec_a, r.id AS vec_b
+         FROM probes l JOIN bk r ON r.band = l.band AND r.bkey = l.bkey
+         WHERE l.id < r.id),
+n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
+SELECT CAST(c.vec_a AS BIGINT) AS vec_a,
+       CAST(c.vec_b AS BIGINT) AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS cosine
+FROM cand c JOIN n a ON a.id = c.vec_a JOIN n b ON b.id = c.vec_b
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= {threshold}
+"""
+
+
+def _sql_ivf_topk(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """Exact SQL mirror of :func:`cugraph_spark.vector.ivf_topk` — the
+    coarse quantizer is deterministic by construction (hash-ordered seeds,
+    integer-quantized dots, floor-mean Lloyd step), so seeds, both
+    assignment argmaxes, probes, candidates and final ranks replay
+    bit-identically."""
+    q = vec.QUANT
+    a, b = vec.IVF_A, vec.IVF_B
+    p = vec.P
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT id, list_transform(v, x -> CAST(ROUND(x * {q}) AS DOUBLE)) AS xq
+       FROM base),
+seeds AS (SELECT id, xq, ({a} * id + {b}) % {p} AS h
+          FROM qv ORDER BY h, id LIMIT {n_cells}),
+seedc AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, id) - 1 AS INT) AS cell,
+                 xq AS cq
+          FROM seeds),
+s0 AS (SELECT qv.id, c.cell,
+              ROUND(list_dot_product(qv.xq, c.cq)
+                    / sqrt(list_dot_product(c.cq, c.cq)), 4) AS s
+       FROM qv CROSS JOIN seedc c),
+a0 AS (SELECT id, cell FROM (
+         SELECT id, cell,
+                ROW_NUMBER() OVER (PARTITION BY id
+                                   ORDER BY s DESC, cell ASC) AS rn
+         FROM s0) WHERE rn = 1),
+xs AS (SELECT id, generate_subscripts(xq, 1) - 1 AS j, unnest(xq) AS x
+       FROM qv),
+compc AS (SELECT a0.cell, xs.j, SUM(xs.x) AS cs, COUNT(*) AS cn
+          FROM xs JOIN a0 ON a0.id = xs.id GROUP BY a0.cell, xs.j),
+cent AS (SELECT cell,
+                list((cs - (((cs % cn) + cn) % cn)) / cn ORDER BY j) AS cq
+         FROM compc GROUP BY cell),
+s1 AS (SELECT qv.id, c.cell,
+              ROUND(list_dot_product(qv.xq, c.cq)
+                    / sqrt(list_dot_product(c.cq, c.cq)), 4) AS s
+       FROM qv CROSS JOIN cent c),
+assign AS (SELECT id, cell FROM (
+             SELECT id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY s DESC, cell ASC) AS rn
+             FROM s1) WHERE rn = 1),
+probes AS (SELECT id AS query_id, cell FROM (
+             SELECT id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY s DESC, cell ASC) AS rn
+             FROM s1) WHERE rn <= {n_probe}),
+cand AS (SELECT DISTINCT p.query_id, a.id AS neighbor_id
+         FROM probes p JOIN assign a ON a.cell = p.cell
+         WHERE p.query_id != a.id),
+n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+sims AS (SELECT c.query_id, c.neighbor_id,
+    ROUND(list_dot_product(qq.v, t.v) / (qq.nrm * t.nrm), 4) + 0.0 AS cosine
+  FROM cand c JOIN n qq ON qq.id = c.query_id JOIN n t ON t.id = c.neighbor_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+FROM sims
+QUALIFY rank <= {k}
+"""
+
+
+def _sql_stream_user_totals() -> str:
+    """Batch oracle for the streaming stateful-totals query: one
+    AvailableNow micro-batch over the whole table ≡ the batch aggregate."""
+    return """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) + 0.0 AS sum_value
+FROM events GROUP BY user_id
 """
 
 
@@ -1682,4 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "minhash_near_dup": _sql_minhash_near_dup(),
         "embedding_topk": _sql_embedding_topk(),
+        "embedding_neardup": _sql_embedding_neardup(),
+        "embedding_ivf_topk": _sql_ivf_topk(),
+        "stream_user_totals": _sql_stream_user_totals(),
     }
