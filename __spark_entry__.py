@@ -507,6 +507,37 @@ def _q_stream_user_totals(spark, sf_dir):
     )
 
 
+def _q_stream_user_totals_multi(spark, sf_dir):
+    """Multi-batch streaming driver query: the events table is staged as 3
+    chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
+    3 micro-batches — through the applyInPandasWithState running-totals
+    operator in update mode.  Per key: the LAST emission carries the final
+    running totals (state carried across batches), and the NUMBER of
+    emissions equals the number of drops the key appears in.  The oracle
+    reconstructs both from the deterministic NTILE tiling, so a green row
+    certifies cross-batch state carry, not merely batch≡stream on one
+    drop."""
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    drops = st.stage_chronological_drops(
+        spark, f"{sf_dir}/events.parquet", n_drops=3
+    )
+    sdf = st.stateful_totals(
+        st.stream_events(spark, drops, max_files_per_trigger=1)
+    )
+    out = st.run_available_now(
+        sdf, f"t_entry_user_totals_multi_{_STREAM_SINK_N}", output_mode="update"
+    )
+    # n_events is strictly increasing across a key's emissions, so
+    # max(n_events) is the final total and max_by(sum_value, n_events) the
+    # final sum; count(*) is the per-key emission count.
+    return out.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        (F.max_by("sum_value", "n_events") + F.lit(0.0)).alias("sum_value"),
+        F.count("*").cast("long").alias("n_emissions"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -554,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_ivf_topk": _q_ivf_topk,
         "stream_user_totals": _q_stream_user_totals,
+        "stream_user_totals_multi": _q_stream_user_totals_multi,
     }
 
 
@@ -850,12 +882,38 @@ QUALIFY rank <= {k}
 
 def _sql_stream_user_totals() -> str:
     """Batch oracle for the streaming stateful-totals query: one
-    AvailableNow micro-batch over the whole table ≡ the batch aggregate."""
+    AvailableNow micro-batch over the whole table ≡ the batch aggregate.
+    The sum mirrors the operator's integer-micro-unit state
+    (streaming.py:_totals_fn): each event quantized to round(value·1e6),
+    summed exactly as BIGINT, divided once — identical in any engine and
+    any order."""
     return """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 6) + 0.0 AS sum_value
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
 FROM events GROUP BY user_id
+"""
+
+
+def _sql_stream_user_totals_multi(n_drops: int = 3) -> str:
+    """Batch oracle for the MULTI-batch stateful-totals query.  The Spark
+    side replays the events table as ``n_drops`` chronological file drops
+    (NTILE(n) over (ts, event_id) — streaming.py:stage_chronological_drops)
+    with maxFilesPerTrigger=1, so in update mode a key emits once per
+    micro-batch it appears in.  ``n_emissions`` therefore must equal the
+    number of distinct tiles containing the key — reproducing it in SQL is
+    what proves the stream really ran >1 micro-batch with state carried
+    across batches (a single-batch run would emit exactly once per key)."""
+    return f"""
+WITH tiled AS (
+  SELECT user_id, value,
+         NTILE({n_drops}) OVER (ORDER BY ts, event_id) AS b
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value,
+       CAST(COUNT(DISTINCT b) AS BIGINT) AS n_emissions
+FROM tiled GROUP BY user_id
 """
 
 
@@ -1854,4 +1912,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "embedding_ivf_topk": _sql_ivf_topk(),
         "stream_user_totals": _sql_stream_user_totals(),
+        "stream_user_totals_multi": _sql_stream_user_totals_multi(),
     }

@@ -41,15 +41,30 @@ CSR_SCHEMA = (
 )
 
 
-def csr_partitions(graph: LinkGraph, num_partitions: int | None = None) -> DataFrame:
-    """[pid, vids, offsets, indices, weights] — one row per hash partition,
-    the partition's out-adjacency compressed to CSR.
+# max edges per CSR chunk row: 8M longs ≈ 64 MB of indices (plus weights)
+# keeps every Arrow cell far below the 2 GiB Arrow-batch/row ceiling that a
+# one-row-per-partition packing would hit on a dense hash partition at
+# scale (a 1B-edge partition is ~8 GB of indices in one cell otherwise).
+CSR_CHUNK_EDGES = 8_000_000
 
-    ``vids`` are the partition's source vertices sorted ascending (a DCSR:
+
+def csr_partitions(
+    graph: LinkGraph,
+    num_partitions: int | None = None,
+    max_chunk_edges: int = CSR_CHUNK_EDGES,
+) -> DataFrame:
+    """[pid, vids, offsets, indices, weights] — one row per (hash
+    partition, vid-range chunk), the partition's out-adjacency compressed
+    to CSR and split at vertex boundaries so no chunk holds more than
+    ``max_chunk_edges`` edges (≈64 MB of indices at the default — bounded
+    Arrow cell size regardless of partition density).
+
+    ``vids`` are the chunk's source vertices sorted ascending (a DCSR:
     vertices with no out-edges in the partition are absent, mirroring the
     reference's hypersparse handling); ``offsets[i]:offsets[i+1]`` slices
-    ``indices``/``weights`` for ``vids[i]``.  Partition = ``src mod P`` so a
-    rank vector keyed the same way co-groups without re-hashing.
+    ``indices``/``weights`` for ``vids[i]`` (offsets rebased per chunk).
+    Partition = ``src mod P`` so a rank vector keyed the same way co-groups
+    without re-hashing; a gather consumes ALL chunk rows of its pid.
     """
     n_part = num_partitions or graph.num_partitions
     weighted = WGT in graph.edges.columns
@@ -64,19 +79,36 @@ def csr_partitions(graph: LinkGraph, num_partitions: int | None = None) -> DataF
         vids, counts = np.unique(src, return_counts=True)
         offsets = np.zeros(len(vids) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+        dst = pdf[DST].to_numpy(np.int64)
         w = (
             pdf[WGT].to_numpy(np.float64)
             if weighted
             else np.ones(len(src), dtype=np.float64)
         )
+        pid = int(pdf["pid"].iloc[0])
+        # chunk at vertex boundaries: greedy largest prefix ≤ max_chunk_edges
+        # (a single vertex whose degree exceeds the cap gets its own chunk —
+        # correct, just an oversized cell; true hub splitting lives in the
+        # DataFrame path's salting, this path documents the bound honestly)
+        cuts = [0]
+        while cuts[-1] < len(vids):
+            lo = cuts[-1]
+            j = int(np.searchsorted(offsets, offsets[lo] + max_chunk_edges, "right")) - 1
+            cuts.append(min(max(j, lo + 1), len(vids)))
+        rows = []
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            e0, e1 = offsets[lo], offsets[hi]
+            rows.append(
+                (
+                    pid,
+                    vids[lo:hi],
+                    offsets[lo : hi + 1] - e0,
+                    dst[e0:e1],
+                    w[e0:e1],
+                )
+            )
         return pd.DataFrame(
-            {
-                "pid": [int(pdf["pid"].iloc[0])],
-                "vids": [vids],
-                "offsets": [offsets],
-                "indices": [pdf[DST].to_numpy(np.int64)],
-                "weights": [w],
-            }
+            rows, columns=["pid", "vids", "offsets", "indices", "weights"]
         )
 
     return coo.groupBy("pid").applyInPandas(_compress, CSR_SCHEMA)
@@ -104,24 +136,26 @@ def csr_gather(
         if len(csr_pdfs) == 0 or len(val_pdf) == 0:
             return pd.DataFrame({"dst": pd.Series(dtype="int64"),
                                  "partial": pd.Series(dtype="float64")})
-        row = csr_pdfs.iloc[0]
-        vids = np.asarray(row["vids"], dtype=np.int64)
-        offsets = np.asarray(row["offsets"], dtype=np.int64)
-        indices = np.asarray(row["indices"], dtype=np.int64)
-        weights = np.asarray(row["weights"], dtype=np.float64)
-        # align the partition's value vector to its CSR vertex order
-        # (vectorized hash lookup; absent vertices contribute 0)
-        x = (
-            pd.Series(
-                val_pdf["value"].to_numpy(np.float64),
-                index=val_pdf[VID].to_numpy(np.int64),
-            )
-            .reindex(vids, fill_value=0.0)
-            .to_numpy(np.float64)
+        # value lookup built once per pid, reused across all chunk rows
+        vals = pd.Series(
+            val_pdf["value"].to_numpy(np.float64),
+            index=val_pdf[VID].to_numpy(np.int64),
         )
-        deg = np.diff(offsets)
-        contrib = np.repeat(x, deg) * weights
-        # local combine per dst (dense codes via factorize-equivalent)
+        idx_parts, con_parts = [], []
+        for row in csr_pdfs.itertuples(index=False):
+            vids = np.asarray(row.vids, dtype=np.int64)
+            offsets = np.asarray(row.offsets, dtype=np.int64)
+            indices = np.asarray(row.indices, dtype=np.int64)
+            weights = np.asarray(row.weights, dtype=np.float64)
+            # align the chunk's value vector to its CSR vertex order
+            # (vectorized hash lookup; absent vertices contribute 0)
+            x = vals.reindex(vids, fill_value=0.0).to_numpy(np.float64)
+            deg = np.diff(offsets)
+            idx_parts.append(indices)
+            con_parts.append(np.repeat(x, deg) * weights)
+        indices = np.concatenate(idx_parts)
+        contrib = np.concatenate(con_parts)
+        # local combine per dst across ALL chunks (factorize → bincount)
         codes, uniq = pd.factorize(indices, sort=False)
         partial = np.bincount(codes, weights=contrib, minlength=len(uniq))
         return pd.DataFrame({"dst": uniq.astype(np.int64), "partial": partial})
@@ -139,6 +173,7 @@ def pagerank_csr(
     tol: float = 1e-6,
     num_partitions: int | None = None,
     unrenumber: bool = True,
+    max_chunk_edges: int = CSR_CHUNK_EDGES,
 ) -> DataFrame:
     """PageRank over the per-partition CSR gather — semantics identical to
     :func:`cugraph_spark.operators.pagerank` (init 1/V, pre-divided
@@ -153,7 +188,7 @@ def pagerank_csr(
     n_part = num_partitions or graph.num_partitions
     V = graph.number_of_vertices()
 
-    csr = csr_partitions(graph, n_part).persist()
+    csr = csr_partitions(graph, n_part, max_chunk_edges=max_chunk_edges).persist()
     csr.count()
 
     # out-weight sums (degree if unweighted) and the dangling set

@@ -32,11 +32,13 @@ trigger and sink without touching the query graph.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,12 +72,25 @@ PAGES_SCHEMA = T.StructType(
 def _as_drop_dir(path: str) -> str:
     """The file streaming source requires a DIRECTORY (its basePath); a
     single parquet file — the sandbox testdata layout — is staged into a
-    one-file temp drop dir.  Local-mode convenience only: a real deployment
-    points at the drop directory itself."""
+    one-file drop dir.  Local-mode convenience only: a real deployment
+    points at the drop directory itself.
+
+    The staging dir is DETERMINISTIC per input path (so repeated harness
+    invocations reuse it instead of leaking a fresh mkdtemp per call) and
+    holds a SYMLINK, not a copy (a large single-file input is never
+    duplicated).  Falls back to a copy only if the filesystem refuses
+    symlinks."""
     local = path.removeprefix("file:")
     if os.path.isfile(local):
-        d = tempfile.mkdtemp(prefix="cgs_stream_src_")
-        shutil.copy(local, d)
+        tag = hashlib.sha1(os.path.abspath(local).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), f"cgs_stream_src_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(local))
+        if not os.path.exists(link):
+            try:
+                os.symlink(os.path.abspath(local), link)
+            except OSError:
+                shutil.copy(local, link)
         return d
     return path
 
@@ -154,24 +169,35 @@ _TOTALS_OUT = T.StructType(
 _TOTALS_STATE = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("s", T.DoubleType()),
+        T.StructField("s_micro", T.LongType()),
     ]
 )
+
+# state keeps the running sum QUANTIZED to integer micro-units
+# (round(value·1e6) per event, summed as int64) and divides once at
+# emission: integer addition is exact and order-free, so the emitted
+# sum_value is bit-identical to any engine summing the same quantized
+# events in any order — a float accumulator + Python round() (banker's)
+# was latently off-by-1-ulp vs the oracle's ROUND(half-away) near
+# rounding boundaries.  Oracle mirror:
+# SUM(CAST(ROUND(value*1000000) AS BIGINT)) / 1000000.0.
+_MICRO = 1_000_000.0
 
 
 def _totals_fn(
     key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user running (count, sum) accumulator — state survives across
-    micro-batches, so a restarted stream resumes the totals from the
+    """Per-user running (count, quantized sum) accumulator — state survives
+    across micro-batches, so a restarted stream resumes the totals from the
     checkpointed state store."""
-    n, s = state.get if state.exists else (0, 0.0)
+    n, s_micro = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-    state.update((n, s))
+        v = pdf["value"].to_numpy("float64")
+        s_micro += int(np.rint(v * _MICRO).astype("int64").sum())
+    state.update((n, s_micro))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [s_micro / _MICRO]}
     )
 
 
@@ -214,7 +240,13 @@ def run_available_now(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # still running: reading the sink now would return partial results
+        # that masquerade as a (wrong) final answer — fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            f"stream {sink_table!r} did not drain in {timeout_sec}s"
+        )
     spark = sdf.sparkSession
     return spark.table(sink_table)
 
@@ -242,5 +274,50 @@ def run_available_now_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream to {out_dir!r} did not drain in {timeout_sec}s")
     return sdf.sparkSession.read.parquet(out_dir)
+
+
+def stage_chronological_drops(
+    spark: SparkSession, path: str, n_drops: int = 3, out_dir: str | None = None
+) -> str:
+    """Split a batch events parquet into ``n_drops`` single-file drops
+    ordered by (ts, event_id) — ``NTILE(n)`` over that unique total order,
+    one file per tile — so ``maxFilesPerTrigger=1`` replays the table as
+    ``n_drops`` chronological micro-batches.
+
+    Because the tile assignment is plain SQL NTILE over a deterministic
+    unique ordering, a BATCH oracle can reconstruct exactly which
+    micro-batch every event arrived in (and therefore how many emissions a
+    stateful update-mode operator produced per key) — that is what lets the
+    driver certify cross-batch state carry, not just batch≡stream on a
+    single drop.  Staging is sandbox plumbing only: a real deployment
+    already has a drop directory.
+    """
+    from pyspark.sql.window import Window
+
+    local = os.path.abspath(path.removeprefix("file:"))
+    if out_dir is None:
+        tag = hashlib.sha1(f"{local}|{n_drops}".encode()).hexdigest()[:12]
+        out_dir = os.path.join(tempfile.gettempdir(), f"cgs_multi_drop_{tag}")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    ev = spark.read.parquet(path)
+    tiled = ev.select(
+        "*", F.ntile(n_drops).over(Window.orderBy("ts", "event_id")).alias("_b")
+    )
+    stage = os.path.join(out_dir, "_stage")
+    for b in range(1, n_drops + 1):
+        part_dir = os.path.join(stage, str(b))
+        tiled.filter(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        src = next(
+            f for f in sorted(os.listdir(part_dir)) if f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(part_dir, src), os.path.join(out_dir, f"{b:02d}.parquet"))
+    shutil.rmtree(stage)
+    return out_dir

@@ -335,6 +335,12 @@ def ivf_cells(
             ).alias("cq")
         )
     )
+    # materialize the quantizer ONCE: cent is n_cells × dim (broadcast-
+    # sized), but its lineage is two full corpus passes (seed selection +
+    # Lloyd agg) — without the persist every downstream consumer (assign,
+    # probe scoring, candidate joins) re-executes that lineage from scratch.
+    cent = cent.persist()
+    cent.count()
     return assign_to(cent), cent
 
 
@@ -359,17 +365,23 @@ def ivf_topk(
     table broadcasts (n_cells × dim); the probe join shuffles only
     (query, cell) pairs, never vectors.
     """
-    assign, cent = ivf_cells(emb, n_cells, id_col, vec_col)
+    _, cent = ivf_cells(emb, n_cells, id_col, vec_col)
     q = _quantized(emb, id_col, vec_col)
-    scored = q.crossJoin(F.broadcast(cent)).select(
-        "id", "cell", _cell_score(F.col("xq"), F.col("cq")).alias("s")
-    )
+    # ONE scoring pass over the corpus serves both roles: rank 1 per id is
+    # its cell ASSIGNMENT (same argmax/tie-break as ivf_cells' assign —
+    # s desc, cell asc), ranks 1..n_probe are its PROBE list.  Persisted so
+    # the probe side and the candidate-join side don't each rescan the
+    # corpus against the (already persisted) centroids.
     wp = Window.partitionBy("id").orderBy(F.col("s").desc(), F.col("cell").asc())
-    probes = (
-        scored.withColumn("_r", F.row_number().over(wp))
-        .filter(F.col("_r") <= n_probe)
-        .select(F.col("id").alias("query_id"), "cell")
+    ranked = (
+        q.crossJoin(F.broadcast(cent))
+        .select("id", "cell", _cell_score(F.col("xq"), F.col("cq")).alias("s"))
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= max(n_probe, 1))
+        .persist()
     )
+    probes = ranked.select(F.col("id").alias("query_id"), "cell")
+    assign = ranked.filter(F.col("_r") == 1).select("id", "cell")
     cand = (
         probes.join(assign.select(F.col("id").alias("neighbor_id"), "cell"), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

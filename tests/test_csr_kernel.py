@@ -46,6 +46,53 @@ def test_csr_roundtrip_matches_adjacency(spark, small_graph):
     assert set(rebuilt) == expect and len(rebuilt) == len(expect)
 
 
+def test_csr_chunking_splits_rows_and_preserves_adjacency(spark, small_graph):
+    """A tiny ``max_chunk_edges`` forces every partition into multiple
+    chunk rows; the union of chunks must still decompress to exactly the
+    edge list, with per-chunk rebased offsets."""
+    n_part = small_graph.num_partitions
+    rows = csr_partitions(small_graph, n_part, max_chunk_edges=16).collect()
+    assert len(rows) > n_part  # actually chunked
+    per_pid = {}
+    rebuilt = []
+    for r in rows:
+        vids = np.asarray(r["vids"])
+        offs = np.asarray(r["offsets"])
+        idx = np.asarray(r["indices"])
+        assert offs[0] == 0 and offs[-1] == len(idx)
+        # bound holds unless a single vertex's degree alone exceeds it
+        assert len(idx) <= 16 or len(vids) == 1
+        per_pid.setdefault(r["pid"], []).append(vids)
+        for v, lo, hi in zip(vids, offs[:-1], offs[1:]):
+            rebuilt += [(int(v), int(d)) for d in idx[lo:hi]]
+    # chunks of one pid cover disjoint, ascending vid ranges
+    for chunks in per_pid.values():
+        flat = np.concatenate(chunks)
+        assert (np.diff(flat) > 0).all() or len(flat) == 1
+    expect = {
+        (r["src"], r["dst"]) for r in small_graph.edges.select("src", "dst").collect()
+    }
+    assert set(rebuilt) == expect and len(rebuilt) == len(expect)
+
+
+def test_pagerank_csr_multi_chunk_parity(spark, small_graph):
+    """CSR-gather PageRank over FORCED multi-chunk partitions ≡ the
+    DataFrame path (the gather must consume all chunk rows per pid)."""
+    ref = (
+        pagerank(small_graph, tol=1e-10, max_iter=40)
+        .ranks.withColumnRenamed("pagerank", "p_ref")
+    )
+    got = pagerank_csr(
+        small_graph, tol=1e-10, max_iter=40, max_chunk_edges=16
+    )
+    diff = (
+        ref.join(got, "vertex")
+        .agg(F.max(F.abs(F.col("p_ref") - F.col("pagerank"))))
+        .collect()[0][0]
+    )
+    assert diff < 1e-12
+
+
 def test_pagerank_csr_matches_dataframe_path(spark, small_graph):
     """CSR-gather PageRank ≡ DataFrame-superstep PageRank (allclose 1e-12;
     the reference contract is 1e-6, ``tests/test_pagerank.py``-style)."""

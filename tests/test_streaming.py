@@ -88,12 +88,22 @@ def test_stateful_totals_match_batch(spark, events_dir):
     got = (
         spark.table(name)
         .groupBy("user_id")
-        .agg(F.max("n_events").alias("n_events"))
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
     )
+    # batch truth mirrors the operator's integer micro-unit accumulator:
+    # exact int64 sums → one division, identical in any engine/order.
     want = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n_events"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 1e6).cast("long")) / F.lit(1e6)
+            ).alias("sum_value"),
+        )
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
