@@ -60,6 +60,11 @@ from cugraph_spark.operators import (  # noqa: E402
     sorensen_w,
     strongly_connected_components,
 )
+from cugraph_spark.operators import (  # noqa: E402
+    analyze_clustering_edge_cut,
+    analyze_clustering_modularity,
+    clustering_score_frame,
+)
 from cugraph_spark import streaming as st  # noqa: E402
 from cugraph_spark import text as tx  # noqa: E402
 from cugraph_spark import vector as vec  # noqa: E402
@@ -507,6 +512,47 @@ def _q_stream_user_totals(spark, sf_dir):
     )
 
 
+def _q_clustering_scores(spark, sf_dir):
+    """Per-cluster spectral quality stats (operators/spectral.py
+    clustering_score_frame) on the DETERMINISTIC clustering
+    cluster = vertex % 4 — the spectral partition itself is
+    seed-dependent (pytest-pinned on karate), but the score surface the
+    reference exposes (analyzeClustering_modularity/edge_cut/ratio_cut,
+    community/spectral_clustering.py:222-454) is exactly oracle-able:
+    every column is an exact integer-valued sum or one final division."""
+    g = _graph(spark, sf_dir)
+    verts = g.unrenumber(g.vertices().withColumnRenamed("id", "vertex"), "vertex")
+    cl = verts.select(
+        "vertex", F.pmod(F.col("vertex"), F.lit(4)).cast("int").alias("cluster")
+    )
+    frame = clustering_score_frame(g, cl)
+    return frame.select(
+        F.col("cluster").cast("long"),
+        F.col("n_vertices").cast("long"),
+        (F.col("internal_2w") + F.lit(0.0)).alias("internal_2w"),
+        (F.col("cut_w") + F.lit(0.0)).alias("cut_w"),
+        (F.col("ratio_cut_term") + F.lit(0.0)).alias("ratio_cut_term"),
+    )
+
+
+def _q_clustering_modularity(spark, sf_dir):
+    """Scalar clustering scores via the reference-parity helpers
+    analyze_clustering_modularity / analyze_clustering_edge_cut on the
+    same deterministic vertex%4 clustering.  Modularity is computed as a
+    SINGLE division of exact integer sums ((Σin·2m − Σvol²)/(2m)²), so
+    the float is bit-identical to the oracle's."""
+    g = _graph(spark, sf_dir)
+    verts = g.unrenumber(g.vertices().withColumnRenamed("id", "vertex"), "vertex")
+    cl = verts.select(
+        "vertex", F.pmod(F.col("vertex"), F.lit(4)).cast("int").alias("cluster")
+    )
+    q = analyze_clustering_modularity(g, 4, cl)
+    cut = analyze_clustering_edge_cut(g, 4, cl)
+    return spark.createDataFrame(
+        [(4, float(q), float(cut))], "n_clusters long, modularity double, edge_cut double"
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -586,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _q_ivf_topk,
         "stream_user_totals": _q_stream_user_totals,
         "stream_user_totals_multi": _q_stream_user_totals_multi,
+        "clustering_scores": _q_clustering_scores,
+        "clustering_modularity": _q_clustering_modularity,
     }
 
 
@@ -877,6 +925,60 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
 FROM sims
 QUALIFY rank <= {k}
+"""
+
+
+_CLUSTER_SIDES = """
+und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM edges GROUP BY 1, 2),
+cl AS (SELECT v, v % 4 AS c FROM verts),
+sides AS (
+  SELECT ca.c AS cluster, cb.c AS other, u.w
+  FROM und u JOIN cl ca ON ca.v = u.a JOIN cl cb ON cb.v = u.b
+  UNION ALL
+  SELECT cb.c, ca.c, u.w
+  FROM und u JOIN cl ca ON ca.v = u.a JOIN cl cb ON cb.v = u.b),
+per AS (
+  SELECT sz.c AS cluster, sz.n,
+         COALESCE(st.i2w, 0) AS i2w, COALESCE(st.cw, 0) AS cw
+  FROM (SELECT c, COUNT(*) AS n FROM cl GROUP BY c) sz
+  LEFT JOIN (
+    SELECT cluster,
+           SUM(CASE WHEN cluster = other THEN w ELSE 0 END) AS i2w,
+           SUM(CASE WHEN cluster <> other THEN w ELSE 0 END) AS cw
+    FROM sides GROUP BY cluster) st ON st.cluster = sz.c)
+"""
+
+
+def _sql_clustering_scores() -> str:
+    """Mirror of clustering_score_frame on the vertex%4 clustering: the
+    undirected frame collapses directed pairs with summed unit weights
+    (graph is loop-free by construction); every output is an exact integer
+    sum or one division."""
+    return f"""
+WITH edges AS ({_EDGES}), verts AS ({_VERTS}),
+{_CLUSTER_SIDES}
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(n AS BIGINT) AS n_vertices,
+       i2w + 0.0 AS internal_2w,
+       cw + 0.0 AS cut_w,
+       cw / n AS ratio_cut_term
+FROM per
+"""
+
+
+def _sql_clustering_modularity() -> str:
+    """Scalar mirror: Q = (Σin·2m − Σvol²)/(2m)² as one division of exact
+    integer sums; edge_cut = Σcut/2."""
+    return f"""
+WITH edges AS ({_EDGES}), verts AS ({_VERTS}),
+{_CLUSTER_SIDES}
+SELECT CAST(4 AS BIGINT) AS n_clusters,
+       (SUM(i2w) * SUM(i2w + cw) - SUM((i2w + cw) * (i2w + cw)))
+         / (SUM(i2w + cw) * SUM(i2w + cw)) AS modularity,
+       SUM(cw) / 2 + 0.0 AS edge_cut
+FROM per
 """
 
 
@@ -1913,4 +2015,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": _sql_ivf_topk(),
         "stream_user_totals": _sql_stream_user_totals(),
         "stream_user_totals_multi": _sql_stream_user_totals_multi(),
+        "clustering_scores": _sql_clustering_scores(),
+        "clustering_modularity": _sql_clustering_modularity(),
     }

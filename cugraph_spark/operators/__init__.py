@@ -14,6 +14,14 @@ from .louvain import louvain
 from .lpa import label_propagation
 from .sampling import node2vec, random_walks
 from .scc import strongly_connected_components
+from .spectral import (
+    analyze_clustering_edge_cut,
+    analyze_clustering_modularity,
+    analyze_clustering_ratio_cut,
+    clustering_score_frame,
+    spectral_balanced_cut_clustering,
+    spectral_modularity_maximization_clustering,
+)
 from .pagerank import PageRankResult, pagerank
 from .similarity import (
     jaccard,
@@ -83,4 +91,10 @@ __all__ = [
     "overlap_w",
     "sorensen_w",
     "minimum_spanning_tree",
+    "spectral_balanced_cut_clustering",
+    "spectral_modularity_maximization_clustering",
+    "analyze_clustering_modularity",
+    "analyze_clustering_edge_cut",
+    "analyze_clustering_ratio_cut",
+    "clustering_score_frame",
 ]
