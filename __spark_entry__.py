@@ -65,6 +65,7 @@ from cugraph_spark.operators import (  # noqa: E402
     analyze_clustering_modularity,
     clustering_score_frame,
 )
+from cugraph_spark import multimodal as mm  # noqa: E402
 from cugraph_spark import streaming as st  # noqa: E402
 from cugraph_spark import text as tx  # noqa: E402
 from cugraph_spark import vector as vec  # noqa: E402
@@ -512,6 +513,25 @@ def _q_stream_user_totals(spark, sf_dir):
     )
 
 
+def _q_image_stats(spark, sf_dir):
+    """End-to-end multimodal pipeline: REAL binary image payloads (PPM,
+    encoded executor-side) → pure-numpy decode inside the Arrow
+    ``mapInPandas`` kernel → per-channel features.  The pixel law
+    (byte i of asset a = (7a+i) mod 256, multimodal.py
+    gradient_image_assets) is a closed form, so channel means and the
+    dark-pixel fraction are exact single divisions any engine mirrors
+    bit-identically."""
+    feats = mm.image_features(mm.gradient_image_assets(spark, n=64))
+    f = F.col("feature")
+    return feats.select(
+        F.col("asset_id").cast("long"),
+        (f[0] + F.lit(0.0)).alias("mean_r"),
+        (f[1] + F.lit(0.0)).alias("mean_g"),
+        (f[2] + F.lit(0.0)).alias("mean_b"),
+        (f[6] + F.lit(0.0)).alias("dark_frac"),
+    )
+
+
 def _q_clustering_scores(spark, sf_dir):
     """Per-cluster spectral quality stats (operators/spectral.py
     clustering_score_frame) on the DETERMINISTIC clustering
@@ -634,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_totals_multi": _q_stream_user_totals_multi,
         "clustering_scores": _q_clustering_scores,
         "clustering_modularity": _q_clustering_modularity,
+        "image_stats": _q_image_stats,
     }
 
 
@@ -925,6 +946,25 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
 FROM sims
 QUALIFY rank <= {k}
+"""
+
+
+def _sql_image_stats(n: int = 64, w: int = 16, h: int = 16) -> str:
+    """Pixel-law mirror of the decoded gradient images: per-asset channel
+    means (Σv/256, exact) and dark fraction (count/768, exact)."""
+    npx = w * h * 3
+    per_ch = w * h
+    return f"""
+WITH px AS (
+  SELECT a.asset_id, i.i,
+         CAST((7 * a.asset_id + i.i) % 256 AS DOUBLE) AS v
+  FROM range(0, {n}) a(asset_id) CROSS JOIN range(0, {npx}) i(i))
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       SUM(CASE WHEN i % 3 = 0 THEN v END) / {per_ch}.0 AS mean_r,
+       SUM(CASE WHEN i % 3 = 1 THEN v END) / {per_ch}.0 AS mean_g,
+       SUM(CASE WHEN i % 3 = 2 THEN v END) / {per_ch}.0 AS mean_b,
+       SUM(CASE WHEN v < 128 THEN 1 ELSE 0 END) / {npx}.0 AS dark_frac
+FROM px GROUP BY asset_id
 """
 
 
@@ -2017,4 +2057,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_user_totals_multi": _sql_stream_user_totals_multi(),
         "clustering_scores": _sql_clustering_scores(),
         "clustering_modularity": _sql_clustering_modularity(),
+        "image_stats": _sql_image_stats(),
     }

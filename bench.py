@@ -106,6 +106,22 @@ def main():
     extras["pagerank_iterations_to_1e6"] = res.iterations
     extras["pagerank_edges_per_sec"] = round(n_edges * res.iterations / dt, 1)
 
+    # ---- opt-in: CSR-gather PageRank comparison (SPARK_GRAFT_CSR=1) -------
+    # Parity path (csr.py module docstring): same shuffle volumes as the
+    # DataFrame superstep plus an Arrow boundary per iteration — this flag
+    # keeps that claim carrying a MEASURED number per round.
+    if os.environ.get("SPARK_GRAFT_CSR", "0") == "1":
+        from cugraph_spark.csr import pagerank_csr
+
+        t0 = time.time()
+        pagerank_csr(
+            g, alpha=0.85, max_iter=res.iterations, tol=0.0, unrenumber=False
+        ).count()
+        dt_csr = time.time() - t0
+        timings["pagerank_csr"] = round(dt_csr, 3)
+        extras["pagerank_csr_sec_per_iter"] = round(dt_csr / res.iterations, 3)
+        extras["pagerank_df_sec_per_iter"] = round(dt / res.iterations, 3)
+
     # ---- wcc --------------------------------------------------------------
     t0 = time.time()
     weakly_connected_components(g, unrenumber=False).agg(

@@ -16,8 +16,13 @@ agreement with classic sync LPA):
 
 Spark plan per superstep: edges⋈labels by src (big side persisted, only the
 V-row label state shuffles) → groupBy(dst,label).count → per-dst argmax via
-max_by on a (count, -label) ordering — a single aggregation, no window —
-then a least-change merge; localCheckpoint per round.
+max_by on a (count, -label) ordering — a single aggregation, no window.
+The vertex's OWN previous label rides along as a tagged column on its self
+vote (``_self``), so the argmax aggregation also recovers the old label
+(``max`` over the one non-null tag) and the change count fuses into the
+same materialization via ``observe`` — NO per-round V-row merge join at
+all: three exchanges per superstep (state→src, vote counts, argmax), one
+job; localCheckpoint per round.
 """
 
 from __future__ import annotations
@@ -71,27 +76,34 @@ def label_propagation(
     # gate (see static_plan).
     with static_plan(spark, enabled=graph.number_of_edges() >= STATIC_PLAN_MIN_EDGES):
         for it in range(start_iter, max_iter):
+            # neighbor votes carry a NULL tag; the self vote carries its own
+            # (old) label as the tag — every vertex has exactly one tagged
+            # row, so the final argmax group also knows the previous label
+            # without any join back to the state.
             nbr_votes = edges.join(
                 labels.select(F.col(VID).alias(SRC), "label").hint("shuffle_hash"), SRC
-            ).select(F.col(DST).alias(VID), "label")
-            self_votes = labels.select(VID, "label")
+            ).select(
+                F.col(DST).alias(VID),
+                "label",
+                F.lit(None).cast("long").alias("_self"),
+            )
+            self_votes = labels.select(
+                VID, "label", F.col("label").cast("long").alias("_self")
+            )
             counts = (
                 nbr_votes.union(self_votes)
                 .groupBy(VID, "label")
-                .agg(F.count("*").alias("c"))
-            )
-            # argmax by (count desc, label asc): max_by over struct(c, -label)
-            picked = counts.groupBy(VID).agg(
-                F.max_by("label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("new_label")
+                .agg(F.count("*").alias("c"), F.max("_self").alias("_s"))
             )
             obs = Observation(f"lpa_iter_{it}")
+            # argmax by (count desc, label asc): max_by over struct(c, -label)
             new_labels = truncate_state(
-                labels.select(VID, F.col("label").alias("_old"))
-                .join(picked.hint("shuffle_hash"), VID, "left")
-                .select(
-                    VID,
-                    F.coalesce(F.col("new_label"), F.col("_old")).alias("label"),
-                    F.col("_old"),
+                counts.groupBy(VID)
+                .agg(
+                    F.max_by(
+                        "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                    ).alias("label"),
+                    F.max("_s").alias("_old"),
                 )
                 .observe(
                     obs,
