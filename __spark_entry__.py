@@ -131,6 +131,23 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_pagerank_csr(spark, sf_dir):
+    """PageRank over the per-partition chunked-CSR Arrow gather
+    (csr.py:pagerank_csr) — same semantics as the DataFrame superstep, so
+    it certifies against the SAME per-iteration DuckDB simulation.  A tiny
+    max_chunk_edges forces every partition into multiple chunk rows, so the
+    oracle row also certifies the multi-chunk gather."""
+    from cugraph_spark.csr import pagerank_csr
+
+    g = _graph(spark, sf_dir)
+    out = pagerank_csr(
+        g, alpha=0.85, max_iter=PR_ITERS, tol=0.0, max_chunk_edges=4096
+    )
+    return out.select(
+        F.col("vertex").cast("long"), F.round("pagerank", 6).alias("pagerank")
+    )
+
+
 def _q_wcc(spark, sf_dir):
     g = _graph(spark, sf_dir)
     return weakly_connected_components(g).select(
@@ -608,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
         "pagerank": _q_pagerank,
+        "pagerank_csr": _q_pagerank_csr,
         "wcc": _q_wcc,
         "lpa": _q_lpa,
         "triangle_counts": _q_triangles,
@@ -1997,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "graph_degrees": _sql_degrees(),
         "pagerank": _sql_pagerank(),
+        "pagerank_csr": _sql_pagerank(),
         "wcc": _sql_wcc(),
         "lpa": _sql_lpa(),
         "triangle_counts": _sql_triangles(),
