@@ -549,6 +549,31 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_stream_window_rollup(spark, sf_dir):
+    """Streaming windowed aggregation driver query: 1-hour tumbling
+    windows over the events stream (complete mode, AvailableNow), with the
+    exact micro-unit sum so the window BUCKETING (epoch-aligned) and the
+    aggregate arithmetic are both oracle-certified.  Window start is
+    emitted as epoch seconds — integer in both engines."""
+    global _STREAM_SINK_N
+    _STREAM_SINK_N += 1
+    sdf = st.windowed_event_rollup(
+        st.stream_events(spark, f"{sf_dir}/events.parquet"),
+        window="1 hour",
+        watermark=None,
+        exact=True,
+    )
+    out = st.run_available_now(
+        sdf, f"t_entry_window_{_STREAM_SINK_N}", output_mode="complete"
+    )
+    return out.select(
+        F.col("win_start").cast("long").alias("win_epoch"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("sum_value") + F.lit(0.0)).alias("sum_value"),
+    )
+
+
 def _q_clustering_scores(spark, sf_dir):
     """Per-cluster spectral quality stats (operators/spectral.py
     clustering_score_frame) on the DETERMINISTIC clustering
@@ -670,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": _q_ivf_topk,
         "stream_user_totals": _q_stream_user_totals,
         "stream_user_totals_multi": _q_stream_user_totals_multi,
+        "stream_window_rollup": _q_stream_window_rollup,
         "clustering_scores": _q_clustering_scores,
         "clustering_modularity": _q_clustering_modularity,
         "image_stats": _q_image_stats,
@@ -964,6 +990,18 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
             ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
 FROM sims
 QUALIFY rank <= {k}
+"""
+
+
+def _sql_stream_window_rollup() -> str:
+    """Epoch-aligned 1-hour tumbling windows (Spark's F.window buckets
+    from the 1970 epoch) + the same micro-unit exact sum."""
+    return """
+SELECT CAST(FLOOR(EPOCH(ts) / 3600) * 3600 AS BIGINT) AS win_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2
 """
 
 
@@ -2074,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": _sql_ivf_topk(),
         "stream_user_totals": _sql_stream_user_totals(),
         "stream_user_totals_multi": _sql_stream_user_totals_multi(),
+        "stream_window_rollup": _sql_stream_window_rollup(),
         "clustering_scores": _sql_clustering_scores(),
         "clustering_modularity": _sql_clustering_modularity(),
         "image_stats": _sql_image_stats(),

@@ -135,6 +135,7 @@ def windowed_event_rollup(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str | None = "1 hour",
+    exact: bool = False,
 ) -> DataFrame:
     """Per-(window, event_type) count + value sum.
 
@@ -142,13 +143,23 @@ def windowed_event_rollup(
     (windows close ``watermark`` past their end and are dropped from the
     store); pass ``watermark=None`` for complete-mode finite runs where
     the full result table is wanted (e.g. oracle comparison).
+
+    ``exact=True`` sums values quantized to integer micro-units and
+    divides once (same engine-independent arithmetic as
+    :func:`stateful_totals`'s state) — use for oracle-compared runs where
+    a float-accumulated ``round(sum, 6)`` could differ in the last ulp.
     """
     src = events.withWatermark("ts", watermark) if watermark else events
+    sum_expr = (
+        (F.sum(F.round(F.col("value") * 1e6).cast("long")) / F.lit(1e6))
+        if exact
+        else F.round(F.sum("value"), 6)
+    )
     return (
         src.groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            sum_expr.alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),
