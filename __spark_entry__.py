@@ -64,6 +64,7 @@ from cugraph_spark.operators import (  # noqa: E402
     analyze_clustering_edge_cut,
     analyze_clustering_modularity,
     clustering_score_frame,
+    hungarian,
 )
 from cugraph_spark import multimodal as mm  # noqa: E402
 from cugraph_spark import streaming as st  # noqa: E402
@@ -615,6 +616,31 @@ def _q_clustering_modularity(spark, sf_dir):
     )
 
 
+def _q_lap_assignment(spark, sf_dir):
+    """Hungarian assignment over a deterministic 6x6 bipartite cost graph
+    (workers 0-5 → jobs 100-105, cost(i,j) = (7i² + 11j² + 13ij + 5i + 3j)
+    mod 97 — a matrix with a verified-unique optimum, gap 12).  The oracle
+    brute-forces all 720 permutations with a recursive CTE, so a green row
+    certifies the O(n³) JV solve end-to-end, including the Spark bipartite
+    block assembly and un/renumbering."""
+    rows = [
+        (i, 100 + j, float((7 * i * i + 11 * j * j + 13 * i * j + 5 * i + 3 * j) % 97))
+        for i in range(6)
+        for j in range(6)
+    ]
+    g = LinkGraph.from_edges(
+        spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE"),
+        weight="weight",
+    )
+    workers = spark.createDataFrame([(i,) for i in range(6)], "v LONG")
+    total, df = hungarian(g, workers)
+    return df.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("assignment").cast("long").alias("assignment"),
+        F.lit(float(total)).alias("total_cost"),
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -699,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_scores": _q_clustering_scores,
         "clustering_modularity": _q_clustering_modularity,
         "image_stats": _q_image_stats,
+        "lap_assignment": _q_lap_assignment,
     }
 
 
@@ -1075,6 +1102,30 @@ SELECT CAST(4 AS BIGINT) AS n_clusters,
          / (SUM(i2w + cw) * SUM(i2w + cw)) AS modularity,
        SUM(cw) / 2 + 0.0 AS edge_cut
 FROM per
+"""
+
+
+def _sql_lap_assignment() -> str:
+    """Exact oracle for the Hungarian driver query: brute-force all 6! = 720
+    assignments with a recursive CTE and take the (unique) minimum.  Costs
+    are small integers, so sums are exact in both engines; the cost matrix
+    was verified to have a single optimum (gap 12), so the assignment rows
+    are deterministic, not just the total."""
+    return """
+WITH RECURSIVE perm(assigned, k, cost) AS (
+  SELECT CAST([] AS BIGINT[]), 0, CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT list_append(assigned, j), k + 1,
+         cost + (7*k*k + 11*j*j + 13*k*j + 5*k + 3*j) % 97
+  FROM perm, (SELECT unnest(range(6)) AS j) js
+  WHERE k < 6 AND NOT list_contains(assigned, j)
+),
+best AS (SELECT assigned, cost FROM perm WHERE k = 6 ORDER BY cost, assigned LIMIT 1)
+SELECT CAST(i AS BIGINT) AS vertex,
+       CAST(100 + assigned[CAST(i AS INT) + 1] AS BIGINT) AS assignment,
+       CAST(cost AS DOUBLE) AS total_cost
+FROM best, (SELECT unnest(range(6)) AS i) isel
+ORDER BY vertex
 """
 
 
@@ -2116,4 +2167,5 @@ def oracle_sql() -> dict[str, str]:
         "clustering_scores": _sql_clustering_scores(),
         "clustering_modularity": _sql_clustering_modularity(),
         "image_stats": _sql_image_stats(),
+        "lap_assignment": _sql_lap_assignment(),
     }

@@ -5,6 +5,7 @@ from .centrality import (
     hits,
     katz_centrality,
 )
+from .lap import dense_hungarian, hungarian
 from .mst import minimum_spanning_tree
 from .cores import core_number, k_core
 from .ecg import ecg
@@ -97,4 +98,6 @@ __all__ = [
     "analyze_clustering_edge_cut",
     "analyze_clustering_ratio_cut",
     "clustering_score_frame",
+    "hungarian",
+    "dense_hungarian",
 ]
