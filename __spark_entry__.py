@@ -63,6 +63,7 @@ from cugraph_spark.operators import (  # noqa: E402
 from cugraph_spark.operators import (  # noqa: E402
     analyze_clustering_edge_cut,
     analyze_clustering_modularity,
+    attraction_at_hash_init,
     clustering_score_frame,
     hungarian,
 )
@@ -641,6 +642,24 @@ def _q_lap_assignment(spark, sf_dir):
     )
 
 
+def _q_fa2_attraction(spark, sf_dir):
+    """Force Atlas 2 attraction gather at deterministic integer hash
+    positions (operators/layout.py:attraction_at_hash_init).  Every value
+    is an exact int64 sum over the symmetrized deduplicated neighbor set,
+    so the row certifies the layout's attraction dataflow (symmetrize →
+    dedup → gather → per-vertex fold) bit-for-bit; the float layout
+    itself is seed-dependent and is pinned by tests/test_layout.py, the
+    same split as spectral clustering."""
+    g = _graph(spark, sf_dir)
+    return attraction_at_hash_init(g).select(
+        F.col("vertex").cast("long"),
+        F.col("x0").cast("long"),
+        F.col("y0").cast("long"),
+        F.col("ax").cast("long"),
+        F.col("ay").cast("long"),
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -726,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_modularity": _q_clustering_modularity,
         "image_stats": _q_image_stats,
         "lap_assignment": _q_lap_assignment,
+        "fa2_attraction": _q_fa2_attraction,
     }
 
 
@@ -1126,6 +1146,36 @@ SELECT CAST(i AS BIGINT) AS vertex,
        CAST(cost AS DOUBLE) AS total_cost
 FROM best, (SELECT unnest(range(6)) AS i) isel
 ORDER BY vertex
+"""
+
+
+def _sql_fa2_attraction() -> str:
+    """Exact oracle for the FA2 attraction gather: integer hash positions
+    over external ids, lin attraction = Σ (pos_v − pos_u) over the
+    symmetrized deduplicated neighbor set.  All int64 arithmetic — the
+    sums are order-independent, so the hash comparison is exact."""
+    return f"""
+WITH edges AS ({_EDGES}), verts AS ({_VERTS}),
+sym AS ({_SYM}),
+pos AS (
+  SELECT v,
+         (48611 * (v + 7919) + 102953) % 1000003 AS x0,
+         (102953 * (v + 7919) + 48611) % 1000003 AS y0
+  FROM verts
+),
+g AS (
+  SELECT sym.src AS u,
+         SUM(p.x0) AS sx, SUM(p.y0) AS sy, COUNT(*) AS nd
+  FROM sym JOIN pos p ON p.v = sym.dst
+  GROUP BY sym.src
+)
+SELECT CAST(verts.v AS BIGINT) AS vertex,
+       CAST(p.x0 AS BIGINT) AS x0,
+       CAST(p.y0 AS BIGINT) AS y0,
+       CAST(COALESCE(g.sx - g.nd * p.x0, 0) AS BIGINT) AS ax,
+       CAST(COALESCE(g.sy - g.nd * p.y0, 0) AS BIGINT) AS ay
+FROM verts JOIN pos p ON p.v = verts.v
+LEFT JOIN g ON g.u = verts.v
 """
 
 
@@ -2168,4 +2218,5 @@ def oracle_sql() -> dict[str, str]:
         "clustering_modularity": _sql_clustering_modularity(),
         "image_stats": _sql_image_stats(),
         "lap_assignment": _sql_lap_assignment(),
+        "fa2_attraction": _sql_fa2_attraction(),
     }

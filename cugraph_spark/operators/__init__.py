@@ -6,6 +6,7 @@ from .centrality import (
     katz_centrality,
 )
 from .lap import dense_hungarian, hungarian
+from .layout import attraction_at_hash_init, force_atlas2
 from .mst import minimum_spanning_tree
 from .cores import core_number, k_core
 from .ecg import ecg
@@ -100,4 +101,6 @@ __all__ = [
     "clustering_score_frame",
     "hungarian",
     "dense_hungarian",
+    "force_atlas2",
+    "attraction_at_hash_init",
 ]
