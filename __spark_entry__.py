@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cugraph_spark.datagen import derived_edges, pages_from_edges  # noqa: E402
 from cugraph_spark.graph import LinkGraph  # noqa: E402
+from cugraph_spark.graph_classes import BiPartiteGraph  # noqa: E402
 from cugraph_spark.ingest import pages_to_edges, url_edges_to_int  # noqa: E402
 from cugraph_spark.operators import (  # noqa: E402
     bfs,
@@ -660,6 +661,28 @@ def _q_fa2_attraction(spark, sf_dir):
     )
 
 
+def _q_bipartite_sets(spark, sf_dir):
+    """BiPartiteGraph partition bookkeeping (graph_classes.py): register
+    the even vertices as the top set, let ``sets()`` derive the bottom as
+    the distributed left-anti complement, and return every vertex labeled
+    by side.  Exactly SQL-expressible (side = v % 2), so a green row
+    certifies add_nodes_from → sets() → complement end-to-end."""
+    g = BiPartiteGraph.from_edges(
+        derived_edges(spark, sf_dir, num_vertices=K), directed=False
+    )
+    top_nodes = g.nodes().filter(F.col("vertex") % 2 == 0)
+    g.add_nodes_from(top_nodes, bipartite="top")
+    top, bottom = g.sets()
+    return (
+        top.select(F.col("vertex").cast("long"), F.lit(0).cast("int").alias("side"))
+        .unionByName(
+            bottom.select(
+                F.col("vertex").cast("long"), F.lit(1).cast("int").alias("side")
+            )
+        )
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -746,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": _q_image_stats,
         "lap_assignment": _q_lap_assignment,
         "fa2_attraction": _q_fa2_attraction,
+        "bipartite_sets": _q_bipartite_sets,
     }
 
 
@@ -1176,6 +1200,16 @@ SELECT CAST(verts.v AS BIGINT) AS vertex,
        CAST(COALESCE(g.sy - g.nd * p.y0, 0) AS BIGINT) AS ay
 FROM verts JOIN pos p ON p.v = verts.v
 LEFT JOIN g ON g.u = verts.v
+"""
+
+
+def _sql_bipartite_sets() -> str:
+    """Exact oracle for the BiPartiteGraph sets() query: every edge
+    endpoint labeled side = v % 2 (top = even vertices, bottom = the
+    complement the Spark side derives via left-anti join)."""
+    return f"""
+WITH edges AS ({_EDGES}), verts AS ({_VERTS})
+SELECT CAST(v AS BIGINT) AS vertex, CAST(v % 2 AS INT) AS side FROM verts
 """
 
 
@@ -2219,4 +2253,5 @@ def oracle_sql() -> dict[str, str]:
         "image_stats": _sql_image_stats(),
         "lap_assignment": _sql_lap_assignment(),
         "fa2_attraction": _sql_fa2_attraction(),
+        "bipartite_sets": _sql_bipartite_sets(),
     }

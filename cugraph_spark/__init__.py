@@ -7,12 +7,16 @@ checkpointing. Not a port — see SURVEY.md for the mapping.
 
 from . import csr, multimodal, text, vector
 from .graph import GraphProperties, LinkGraph, symmetrize_edges
+from .graph_classes import BiPartiteGraph, NPartiteGraph, Tree
 from .session import get_spark
 
 __all__ = [
     "LinkGraph",
     "GraphProperties",
     "symmetrize_edges",
+    "Tree",
+    "NPartiteGraph",
+    "BiPartiteGraph",
     "get_spark",
     "text",
     "vector",

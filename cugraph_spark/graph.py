@@ -136,6 +136,21 @@ class GraphProperties:
     renumbered: bool = True
     multi_edge: bool = False
     self_loops: bool = True
+    # typed-class flags (reference graph_classes.py:824-1023: Tree /
+    # NPartiteGraph / BiPartiteGraph set these in their constructors)
+    tree: bool = False
+    bipartite: bool = False
+    multipartite: bool = False
+
+
+def _nodes_frame(spark: SparkSession, nodes) -> DataFrame:
+    """DF[vertex] from a python list, pandas Series, or one-column
+    DataFrame (the reference accepts list | cudf.Series)."""
+    if isinstance(nodes, DataFrame):
+        c = nodes.columns[0]
+        return nodes.select(F.col(c).alias("vertex")).distinct()
+    vals = list(getattr(nodes, "tolist", lambda: nodes)())
+    return spark.createDataFrame([(v,) for v in vals]).toDF("vertex").distinct()
 
 
 def assign_dense_ids(
@@ -223,6 +238,7 @@ class LinkGraph:
         self._num_vertices: int | None = None
         self._num_edges: int | None = None
         self._degrees_cache: DataFrame | None = None
+        self._all_nodes: DataFrame | None = None  # add_nodes_from registry
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -397,6 +413,37 @@ class LinkGraph:
 
     def is_directed(self) -> bool:
         return self.properties.directed
+
+    def is_bipartite(self) -> bool:
+        """Reference ``graph_classes.py:621-628`` — reports the flag set by
+        the typed-class constructor / ``add_nodes_from``; does not parse
+        the graph."""
+        return self.properties.bipartite
+
+    def is_multipartite(self) -> bool:
+        """Reference ``graph_classes.py:630-637`` — flag-based, like
+        ``is_bipartite``."""
+        return self.properties.multipartite or self.properties.bipartite
+
+    def add_nodes_from(self, nodes) -> None:
+        """Register the full node set, including isolated vertices absent
+        from the edge list (reference ``graph_classes.py:748-757``); they
+        are reported by ``nodes()`` but take no part in renumbered
+        algorithm state."""
+        self._all_nodes = _nodes_frame(self.spark, nodes)
+
+    def nodes(self) -> DataFrame:
+        """DF[vertex] — external ids: edge endpoints ∪ ``add_nodes_from``
+        registrations (reference ``simpleGraph.py`` ``nodes()``)."""
+        base = self.vertices()
+        base = (
+            self.unrenumber(base.withColumnRenamed(VID, "vertex"), "vertex")
+            if self.renumber_map is not None
+            else base.withColumnRenamed(VID, "vertex")
+        )
+        if self._all_nodes is not None:
+            base = base.unionByName(self._all_nodes).distinct()
+        return base
 
     def density(self) -> float:
         """|E| / (V·(V−1)) for directed, 2·|E| / (V·(V−1)) undirected.
