@@ -683,6 +683,19 @@ def _q_bipartite_sets(spark, sf_dir):
     )
 
 
+def _q_corpus_clean(spark, sf_dir):
+    """Composed training-data cleaning pipeline (text.py:clean_corpus):
+    exact-dedup survivors → language ID → quality ≥ 0.5 gate →
+    per-language rollup.  Each stage has its own driver query; this row
+    certifies their COMPOSITION (and the integer-micro-unit avg_quality)."""
+    return tx.clean_corpus(_docs(spark, sf_dir), min_quality=0.5).select(
+        "pred_lang",
+        F.col("n_docs").cast("long"),
+        F.col("total_tokens").cast("long"),
+        "avg_quality",
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -770,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lap_assignment": _q_lap_assignment,
         "fa2_attraction": _q_fa2_attraction,
         "bipartite_sets": _q_bipartite_sets,
+        "corpus_clean": _q_corpus_clean,
     }
 
 
@@ -1200,6 +1214,53 @@ SELECT CAST(verts.v AS BIGINT) AS vertex,
        CAST(COALESCE(g.sy - g.nd * p.y0, 0) AS BIGINT) AS ay
 FROM verts JOIN pos p ON p.v = verts.v
 LEFT JOIN g ON g.u = verts.v
+"""
+
+
+def _sql_corpus_clean(min_quality: float = 0.5) -> str:
+    """Exact oracle for the composed cleaning pipeline.  Dedup groups on
+    raw text (≡ the Spark side's 128-bit digest identity), the stats/lang
+    expressions mirror _sql_doc_stats/_sql_lang_id, and avg_quality sums
+    int64 micro-units so both engines divide the same exact integer."""
+    stop = ", ".join(f"'{s}'" for s in tx.EN_STOP)
+    score_cols = []
+    for lang in tx._LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({markers}))) AS s_{lang}"
+        )
+    whens = "\n".join(
+        f"    WHEN s_{lang} = best THEN '{lang}'" for lang in tx._LANG_ORDER
+    )
+    return f"""
+WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+d AS (SELECT documents.doc_id, documents.text FROM documents JOIN keep USING (doc_id)),
+s AS (
+  SELECT doc_id, text,
+    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+    len(list_filter(string_split(text, ' '), x -> x IN ({stop}))) AS stop_hits,
+    {', '.join(score_cols)}
+  FROM d
+), q AS (
+  SELECT *, ROUND(0.4 * LEAST(1.0, n_tokens / 100.0)
+       + 0.3 * (1.0 - ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1), 6))
+       + 0.3 * ROUND(CAST(stop_hits AS DOUBLE) / GREATEST(n_tokens, 1), 6), 6) AS quality,
+       GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS best
+  FROM s
+), j AS (
+  SELECT CASE WHEN best = 0 THEN 'unk'
+{whens}
+  END AS pred_lang, n_tokens, quality
+  FROM q WHERE quality >= {min_quality}
+)
+SELECT pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND((CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS DOUBLE)
+              / COUNT(*)) / 1000000.0, 6) AS avg_quality
+FROM j GROUP BY pred_lang
 """
 
 
@@ -2254,4 +2315,5 @@ def oracle_sql() -> dict[str, str]:
         "lap_assignment": _sql_lap_assignment(),
         "fa2_attraction": _sql_fa2_attraction(),
         "bipartite_sets": _sql_bipartite_sets(),
+        "corpus_clean": _sql_corpus_clean(),
     }

@@ -123,9 +123,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------- doc stats
-def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_stats(
+    docs: DataFrame, text_col: str = "text", passthrough: tuple = ()
+) -> DataFrame:
     """[doc_id, n_tokens, n_chars, punct_ratio, stopword_ratio, quality]
-    — length/punct/stopword quality heuristics, all built-in expressions."""
+    — length/punct/stopword quality heuristics, all built-in expressions.
+    ``passthrough`` columns are carried along so composed pipelines stay a
+    single linear scan instead of self-joining the input."""
     t = F.col(text_col)
     n_tokens = F.size(F.filter(F.split(t, " "), lambda x: x != F.lit("")))
     n_chars = F.length(t)
@@ -148,6 +152,7 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality"),
+        *passthrough,
     )
 
 
@@ -162,10 +167,13 @@ LANG_MARKERS = {
 _LANG_ORDER = ("en", "de", "fr", "es", "zh")  # tie precedence
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame, text_col: str = "text", passthrough: tuple = ()
+) -> DataFrame:
     """[doc_id, pred_lang] — marker-stopword n-gram heuristic: count hits
     per language's marker set over whitespace tokens, argmax with a fixed
-    precedence order for ties (en > de > fr > es > zh). Pure built-ins."""
+    precedence order for ties (en > de > fr > es > zh). Pure built-ins.
+    ``passthrough`` as in ``doc_stats``."""
     toks = F.split(F.col(text_col), " ")
 
     def _score(markers):
@@ -179,7 +187,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in reversed(_LANG_ORDER):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("unk")).otherwise(pred)
-    return docs.select("doc_id", pred.alias("pred_lang"))
+    return docs.select("doc_id", pred.alias("pred_lang"), *passthrough)
 
 
 # ------------------------------------------------------------- fingerprint
@@ -335,5 +343,44 @@ def token_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("_nt").alias("total_tokens"),
             F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------- composed pipeline
+def clean_corpus(
+    docs: DataFrame, min_quality: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """[pred_lang, n_docs, total_tokens, avg_quality] — the composed
+    training-data cleaning pipeline, one call: exact-dedup survivors →
+    language ID → quality gate → per-language corpus rollup.
+
+    This is the operator a 100 TB ingest actually runs (each stage alone
+    is certified by its own driver query; this certifies their
+    COMPOSITION).  Plan shape: digest-grouped dedup (24-byte shuffle
+    rows), ONE full-text shuffle to rejoin survivors (unavoidable — the
+    downstream stages need the text), then all stats/lang expressions are
+    map-side built-ins and the final rollup is a partial-agg over ~5
+    language keys.  avg_quality follows the streaming integer-micro-unit
+    idiom: per-doc quality quantized to round(q·1e6) as int64, summed
+    exactly (order-free), divided once — bit-identical in any engine.
+    """
+    keep = exact_dedup(docs, text_col).select("doc_id")
+    d = docs.join(keep, "doc_id").select("doc_id", text_col)
+    # one LINEAR chain (stats carry the text to the lang stage) — a
+    # stats⋈lang self-join would execute the dedup subplan twice
+    st = doc_stats(d, text_col, passthrough=(text_col,))
+    j = language_id(st, text_col, passthrough=("n_tokens", "quality")).filter(
+        F.col("quality") >= F.lit(min_quality)
+    )
+    qm = F.round(F.col("quality") * F.lit(1e6)).cast("long")
+    return (
+        j.groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                (F.sum(qm).cast("double") / F.count("*")) / F.lit(1e6), 6
+            ).alias("avg_quality"),
         )
     )

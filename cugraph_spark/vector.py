@@ -294,6 +294,10 @@ def ivf_cells(
         .orderBy("_h", "id")
         .limit(n_cells)
     )
+    # unpartitioned window = SINGLE-partition sort: safe ONLY because
+    # `seeds` is already limited to n_cells rows (a TakeOrderedAndProject
+    # that merges per-partition top-k on the driver) — do not copy this
+    # idiom onto a frame that scales with the corpus
     w = Window.orderBy("_h", "id")
     seed_c = seeds.select(
         (F.row_number().over(w) - 1).cast("int").alias("cell"),

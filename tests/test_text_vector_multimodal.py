@@ -260,3 +260,37 @@ def test_error_stub_still_raises_for_codec_formats(spark):
     assets = mm.synthetic_assets(spark, 2)  # random bytes: no magic match
     with pytest.raises(Exception):
         mm.image_features(assets, decode_stub="error").collect()
+
+
+def test_clean_corpus_composed_pipeline(spark):
+    """clean_corpus = dedup → lang-ID → quality gate → rollup, on a corpus
+    where every stage provably removes or routes something."""
+    from cugraph_spark import text as tx
+
+    en = "the cat is on the mat and the dog is in the house of the king"
+    de = "der hund und die katze das ist der haus und der bonus ist das"
+    junk = "..." * 40  # punctuation-only: quality ~0.004
+    # threshold 0.3: the de doc (no EN stopwords, quality ~0.356) passes,
+    # junk fails — the gate separates real text from noise
+    rows = [
+        (0, en, "en"),
+        (1, en, "en"),          # exact duplicate of doc 0 -> dropped
+        (2, de, "de"),
+        (3, junk, "en"),        # quality 0.004: fails the gate
+        (4, en + " extra", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.pred_lang: (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in tx.clean_corpus(docs, min_quality=0.3).collect()
+    }
+    # doc 1 deduped, doc 3 quality-gated: en keeps docs {0, 4}, de keeps {2}
+    assert got["en"][0] == 2 and got["de"][0] == 1, got
+    assert "unk" not in got
+    st = {
+        r.doc_id: r.quality
+        for r in tx.doc_stats(docs).collect()
+    }
+    import math
+    want_avg = round((round(st[0] * 1e6) + round(st[4] * 1e6)) / 2 / 1e6, 6)
+    assert math.isclose(got["en"][2], want_avg, rel_tol=0, abs_tol=1e-12)
