@@ -66,6 +66,7 @@ def triangle_count(
     # costs one E-row aggregation and pays for itself only while large
     # leaf-fringes remain.
     und = truncate_state(und, n_part, SRC)
+    before_cnt = und.count()  # carried across rounds — one count action/round
     for _ in range(5):
         dg = (
             und.select(F.col(SRC).alias("v"))
@@ -84,7 +85,7 @@ def triangle_count(
             n_part,
             SRC,
         )
-        before_cnt, after_cnt = und.count(), pruned.count()
+        after_cnt = pruned.count()
         if after_cnt == before_cnt:
             pruned.unpersist()
             break
@@ -93,6 +94,7 @@ def triangle_count(
         # diminishing returns: stop once a round removes <5% of edges
         if after_cnt > 0.95 * before_cnt:
             break
+        before_cnt = after_cnt
 
     # degree on the simple undirected graph
     deg = (
@@ -102,18 +104,23 @@ def triangle_count(
         .agg(F.count("*").alias("deg"))
     )
 
-    # orient low→high degree, id tie-break (impl.cuh:86-103)
+    # orient low→high degree, id tie-break (impl.cuh:86-103).  `und` holds
+    # each undirected edge exactly once (canonical src<dst), so orientation
+    # is a conditional endpoint SWAP on the E-row frame — not a filter over
+    # the 2E-row symmetrized union: the degree joins touch half the rows.
     d1 = deg.select(F.col("v").alias(SRC), F.col("deg").alias("deg_s"))
     d2 = deg.select(F.col("v").alias(DST), F.col("deg").alias("deg_d"))
-    both = und.union(und.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    low_first = (F.col("deg_s") < F.col("deg_d")) | (
+        (F.col("deg_s") == F.col("deg_d")) & (F.col(SRC) < F.col(DST))
+    )
     oriented = (
-        both.join(d1, SRC)
+        und.join(d1, SRC)
         .join(d2, DST)
-        .filter(
-            (F.col("deg_s") < F.col("deg_d"))
-            | ((F.col("deg_s") == F.col("deg_d")) & (F.col(SRC) < F.col(DST)))
+        .select(
+            F.when(low_first, F.col(SRC)).otherwise(F.col(DST)).alias("o_src"),
+            F.when(low_first, F.col(DST)).otherwise(F.col(SRC)).alias("o_dst"),
         )
-        .select(SRC, DST)
+        .select(F.col("o_src").alias(SRC), F.col("o_dst").alias(DST))
         .repartition(n_part, SRC)
         .persist()
     )

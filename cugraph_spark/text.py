@@ -229,11 +229,22 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
 
 # -------------------------------------------------------------- ngram jaccard
-def ngram_jaccard(docs: DataFrame, pairs: DataFrame | None = None, n: int = 3) -> DataFrame:
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """[doc_a, doc_b, jaccard] — exact n-gram Jaccard for candidate pairs
     (all pairs sharing ≥1 shingle when ``pairs`` is None). Same
-    wedge-count plan as graph Jaccard: shingle-join, never per-doc arrays."""
-    sh = shingles(docs, n).persist()
+    wedge-count plan as graph Jaccard: shingle-join, never per-doc arrays.
+
+    ``sh``: pre-materialized ``shingles(docs, n)`` frame — pass it when the
+    caller already computed shingles (e.g. ``minhash_dedup``, whose LSH
+    stage needs the same frame) so the tokenize+window+distinct lineage
+    runs once, not once per stage."""
+    if sh is None:
+        sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -256,15 +267,17 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame | None = None, n: int = 3) -
             ).alias("jaccard"),
         )
     )
-    sh.unpersist()
     return out
 
 
 # ------------------------------------------------------------------- minhash
-def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """[doc_id, h0..h15] — k=16 MinHash values in ONE groupBy (k min
     aggregates over the shingle set; single shuffle)."""
-    sh = shingles(docs, n)
+    if sh is None:
+        sh = shingles(docs, n)
     aggs = [
         F.min(_mod_hash(F.col("sh"), a, b)).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -272,11 +285,13 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+def lsh_candidates(
+    docs: DataFrame, n: int = 3, sh: DataFrame | None = None
+) -> DataFrame:
     """[doc_a, doc_b] — near-dup candidates: pairs agreeing on all rows of
     ≥1 LSH band (4 bands × 4 rows). Banding = explode signatures into
     (band, key) rows; pairs via groupBy(band, key) self-join."""
-    sig = minhash_signatures(docs, n)
+    sig = minhash_signatures(docs, n, sh=sh)
     bands = []
     for bi in range(N_BANDS):
         cols = [F.col(f"h{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -302,9 +317,19 @@ def lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
 def minhash_dedup(docs: DataFrame, threshold: float = 0.8, n: int = 3) -> DataFrame:
     """[doc_a, doc_b, jaccard] — LSH candidates verified with exact n-gram
     Jaccard ≥ threshold (the scalable near-dup pipeline:
-    shingle → minhash → band → bucket-join → verify)."""
-    cand = lsh_candidates(docs, n)
-    verified = ngram_jaccard(docs, pairs=cand, n=n)
+    shingle → minhash → band → bucket-join → verify).
+
+    The shingle frame feeds BOTH stages (LSH signatures + exact verify) and
+    appears 3× in the verify plan (a-side, b-side, sizes), so it is
+    materialized ONCE eagerly (``truncate_state`` — localCheckpoint +
+    cache-fill) instead of re-running tokenize+window+distinct per
+    occurrence.  A lazy persist would not survive the return (the caller
+    collects after this function exits), hence the eager cut."""
+    from .graph import truncate_state
+
+    sh = truncate_state(shingles(docs, n))
+    cand = lsh_candidates(docs, n, sh=sh)
+    verified = ngram_jaccard(docs, pairs=cand, n=n, sh=sh)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
