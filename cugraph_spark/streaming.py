@@ -329,6 +329,13 @@ def stage_chronological_drops(
         src = next(
             f for f in sorted(os.listdir(part_dir)) if f.endswith(".parquet")
         )
-        shutil.move(os.path.join(part_dir, src), os.path.join(out_dir, f"{b:02d}.parquet"))
+        dst = os.path.join(out_dir, f"{b:02d}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        # FileStreamSource orders discovered files by modification time;
+        # drops staged within one clock tick would tie and could be
+        # batched out of chronological order (scrambled order + watermark
+        # = silently dropped "late" rows). Stamp strictly increasing
+        # mtimes so replay order is deterministic regardless of host load.
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
     shutil.rmtree(stage)
     return out_dir

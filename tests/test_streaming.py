@@ -50,7 +50,12 @@ def events_dir(spark, tmp_path):
         pd = f"{d}/part{b}"
         for f_ in sorted(os.listdir(pd)):
             if f_.endswith(".parquet"):
-                shutil.copy(f"{pd}/{f_}", f"{flat}/{i:02d}_{f_}")
+                dst = f"{flat}/{i:02d}_{f_}"
+                shutil.copy(f"{pd}/{f_}", dst)
+                # FileStreamSource orders files by mtime; same-tick copies
+                # tie and can replay out of chronological order (watermark
+                # then drops "late" rows). Force a strict mtime order.
+                os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
                 i += 1
     return flat
 
