@@ -105,6 +105,34 @@ spark.stop()
 """
 
 
+PROBE = r"""
+import json, multiprocessing as mp, sys, time
+def _spin(_):
+    t0 = time.time(); x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return time.time() - t0
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    with mp.Pool(n) as p:
+        times = p.map(_spin, range(n))
+    print("PROBE " + json.dumps(sorted(round(t, 3) for t in times)))
+"""
+
+
+def probe_capacity(n: int) -> list[float]:
+    """Median per-process wall time of a FIXED pure-python spin when `n`
+    processes run it concurrently, pinned to cores 0..n-1 (exactly like a
+    leg).  On a full-capacity host per-proc time is flat in `n`; on an
+    overcommitted hypervisor it grows — the ratio lo/hi is the pure-CPU
+    scaling CEILING no software can beat that day."""
+    out = _sub(PROBE, str(n), pin_cores=n)
+    for line in out.splitlines():
+        if line.startswith("PROBE "):
+            return json.loads(line[len("PROBE "):])
+    raise RuntimeError(f"probe failed (n={n}):\n{out[-1000:]}")
+
+
 def _sub(code: str, *args: str, pin_cores: int | None = None) -> str:
     cmd = [sys.executable, "-c", code] + list(args)
     if pin_cores:
@@ -143,6 +171,7 @@ def main():
 
     samples = {n_lo: [], n_hi: []}
     loads = {n_lo: [], n_hi: []}
+    probes = {n_lo: [], n_hi: []}
     edges = None
     runs = []
     # total heap scales with "cluster size": N executors hold 1/4 the
@@ -151,6 +180,11 @@ def main():
     heap = {n_lo: max(4, n_lo), n_hi: max(4, n_hi)}
     for _ in range(repeats):
         for cores in (n_lo, n_hi):  # interleaved: ambient drift hits both
+            # pure-CPU capacity probe right before the leg: on a shared
+            # hypervisor the N vCPUs may be backed by < N cores' worth of
+            # capacity at this instant, which caps the best POSSIBLE
+            # scaling efficiency regardless of software quality
+            probes[cores].append(statistics.median(probe_capacity(cores)))
             r = run_leg(cores, built, iters, heap[cores])
             edges = r["edges"]
             samples[cores].extend(r["iter_secs"][warmup:])
@@ -172,6 +206,19 @@ def main():
                       "edges_per_sec": round(eps[n_hi], 1),
                       "samples": sorted(round(s, 2) for s in samples[n_hi])},
         "scaling_efficiency": round(eff, 3),
+    }
+    # pure-CPU ceiling: per-proc spin time ratio lo/hi (=1 on a
+    # full-capacity host; <1 when the hypervisor backs n_hi vCPUs with
+    # less than n_hi cores' worth of capacity). normalized = measured
+    # PageRank efficiency relative to what ANY software could reach.
+    probe_lo = statistics.median(probes[n_lo])
+    probe_hi = statistics.median(probes[n_hi])
+    ceiling = probe_lo / probe_hi
+    result["cpu_probe"] = {
+        "sec_per_unit_lo": round(probe_lo, 3),
+        "sec_per_unit_hi": round(probe_hi, 3),
+        "pure_cpu_scaling_ceiling": round(ceiling, 3),
+        "normalized_efficiency": round(eff / ceiling, 3),
     }
     print(json.dumps(result))
 
@@ -201,6 +248,13 @@ runs × {iters - warmup} post-warm-up supersteps:
 (north-rule target ≥ 0.8 between cluster sizes; local-mode cores are the
 sandbox stand-in for executors — shuffle partitioning is sized to cores in
 both runs, so the partition/shuffle discipline is what is being measured.)
+
+Pure-CPU capacity probe (fixed python spin, {n_lo} vs {n_hi} concurrent
+pinned processes, median per-proc time, probed immediately before every
+leg): {round(probe_lo, 3)} s vs {round(probe_hi, 3)} s → **hardware
+scaling ceiling {round(ceiling, 3)}** (the best efficiency ANY software
+could measure on this host during this run; 1.0 = full-capacity vCPUs).
+**Hardware-normalized efficiency: {round(eff / ceiling, 3)}.**
 """
     if os.environ.get("SCALING_BENCH_MD", "1") != "0":  # 0 = experiment run
         with open(os.path.join(REPO, "BENCH.md"), "a") as f:
