@@ -696,6 +696,18 @@ def _q_corpus_clean(spark, sf_dir):
     )
 
 
+def _q_dedup_cluster(spark, sf_dir):
+    """Near-dup clustering (text.py:near_dup_clusters): verified MinHash
+    pairs → WCC over the pair graph → min-doc_id canonical per cluster.
+    Certifies the graph×text composition a training-data dedup pipeline
+    ships (transitive closure of near-duplication, canonical election)."""
+    return tx.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5).select(
+        F.col("doc_id").cast("long"),
+        F.col("canonical_id").cast("long"),
+        F.col("cluster_size").cast("long"),
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -784,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fa2_attraction": _q_fa2_attraction,
         "bipartite_sets": _q_bipartite_sets,
         "corpus_clean": _q_corpus_clean,
+        "dedup_cluster": _q_dedup_cluster,
     }
 
 
@@ -1214,6 +1227,31 @@ SELECT CAST(verts.v AS BIGINT) AS vertex,
        CAST(COALESCE(g.sy - g.nd * p.y0, 0) AS BIGINT) AS ay
 FROM verts JOIN pos p ON p.v = verts.v
 LEFT JOIN g ON g.u = verts.v
+"""
+
+
+def _sql_dedup_cluster(threshold: float = 0.5) -> str:
+    """Exact oracle for near-dup clustering: the full minhash pipeline
+    (same CTE chain as _sql_minhash_near_dup) as a subquery, then a
+    recursive-CTE component closure over the verified pair graph and a
+    min-doc_id canonical election — mirror of text.py:near_dup_clusters."""
+    inner = _sql_minhash_near_dup(threshold)
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({inner})),
+symp AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+members AS (SELECT DISTINCT s AS v FROM symp),
+reach(v, u) AS (
+  SELECT v, v FROM members
+  UNION
+  SELECT r.v, s.d FROM reach r JOIN symp s ON s.s = r.u
+),
+comp AS (SELECT v, MIN(u) AS canon FROM reach GROUP BY v),
+sizes AS (SELECT canon, COUNT(*) AS csize FROM comp GROUP BY canon)
+SELECT CAST(comp.v AS BIGINT) AS doc_id,
+       CAST(canon AS BIGINT) AS canonical_id,
+       CAST(csize AS BIGINT) AS cluster_size
+FROM comp JOIN sizes USING (canon)
 """
 
 
@@ -2316,4 +2354,5 @@ def oracle_sql() -> dict[str, str]:
         "fa2_attraction": _sql_fa2_attraction(),
         "bipartite_sets": _sql_bipartite_sets(),
         "corpus_clean": _sql_corpus_clean(),
+        "dedup_cluster": _sql_dedup_cluster(),
     }

@@ -409,3 +409,45 @@ def clean_corpus(
             ).alias("avg_quality"),
         )
     )
+
+
+# ------------------------------------------------------- near-dup clustering
+def near_dup_clusters(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """[doc_id, canonical_id, cluster_size] — group near-duplicate documents
+    into clusters and elect one canonical survivor per cluster (min doc_id):
+    the final step of the standard training-data dedup pipeline.
+
+    Composition: shingle → MinHash → LSH band join → exact-Jaccard verify
+    (``minhash_dedup``) → connected components over the verified pair graph
+    (``weakly_connected_components`` — near-duplication is transitive only
+    through the component closure, e.g. A≈B, B≈C clusters A,B,C together
+    even when A–C itself fell below threshold) → min-id canonicalization.
+
+    Output covers every document that belongs to a near-dup cluster
+    (``cluster_size ≥ 2``); documents with no verified near-duplicate are
+    implicitly their own canonical and are omitted — at web scale the
+    clustered set is a small fraction of the corpus, and emitting identity
+    rows for billions of singletons would dwarf the useful output.
+
+    Scale shape: WCC runs on the pair graph (one vertex per *clustered*
+    doc, edges = verified pairs), which is orders of magnitude smaller than
+    the corpus; every stage before it is the already-bucketed minhash
+    pipeline. The min-id re-canonicalization is one extra groupBy + join on
+    the component frame because WCC's label is the min *internal* id
+    (degree-ranked), not the min external doc_id the dedup contract wants.
+    """
+    from .graph import LinkGraph
+    from .operators.wcc import weakly_connected_components
+
+    pairs = minhash_dedup(docs, threshold=threshold, n=n).select("doc_a", "doc_b")
+    g = LinkGraph.from_edges(pairs, src="doc_a", dst="doc_b", directed=False)
+    comp = weakly_connected_components(g)
+    canon = comp.groupBy("labels").agg(
+        F.min("vertex").alias("canonical_id"),
+        F.count("*").alias("cluster_size"),
+    )
+    return comp.join(canon, "labels").select(
+        F.col("vertex").alias("doc_id"), "canonical_id", "cluster_size"
+    )

@@ -294,3 +294,28 @@ def test_clean_corpus_composed_pipeline(spark):
     import math
     want_avg = round((round(st[0] * 1e6) + round(st[4] * 1e6)) / 2 / 1e6, 6)
     assert math.isclose(got["en"][2], want_avg, rel_tol=0, abs_tol=1e-12)
+
+
+def test_near_dup_clusters_transitive(spark):
+    # A≈B, B≈C but A–C more distant: the cluster must close transitively
+    # through WCC, and the canonical must be the min doc_id.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base + " one"),
+        (20, base + " one two"),        # near 10
+        (30, base + " one two three"),  # near 20 (and 10 via closure)
+        (40, "totally unrelated words about spark catalyst tungsten"),
+        (50, "totally unrelated words about spark catalyst tungsten"),  # exact dup of 40
+        (60, "singleton document with no duplicate at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in tx.near_dup_clusters(docs, threshold=0.5).collect()}
+    # 10-20-30 one cluster, canonical 10
+    assert out[10].canonical_id == 10 and out[10].cluster_size == 3
+    assert out[20].canonical_id == 10
+    assert out[30].canonical_id == 10
+    # 40-50 exact dups -> jaccard 1.0 cluster, canonical 40
+    assert out[40].canonical_id == 40 and out[40].cluster_size == 2
+    assert out[50].canonical_id == 40
+    # singleton omitted
+    assert 60 not in out
