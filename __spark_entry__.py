@@ -552,6 +552,26 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_audio_stats(spark, sf_dir):
+    """End-to-end audio pipeline: REAL binary WAV payloads (RIFF PCM16,
+    encoded executor-side) → pure-numpy chunk-walk decode inside the Arrow
+    ``mapInPandas`` kernel → integer-exact per-asset stats.  The sample law
+    (sample i of asset a = ((137a+31i) mod 4001) − 2000, multimodal.py
+    chirp_audio_assets) is a closed integer form; rms/zcr/duration are a
+    single IEEE division (+sqrt) over exact int64 accumulations, so every
+    value is bit-identical in any engine mirroring the law."""
+    feats = mm.audio_features(mm.chirp_audio_assets(spark, n=32))
+    return feats.select(
+        F.col("asset_id").cast("long"),
+        F.col("sample_rate").cast("long"),
+        F.col("n_samples").cast("long"),
+        (F.col("duration_sec") + F.lit(0.0)).alias("duration_sec"),
+        (F.col("rms") + F.lit(0.0)).alias("rms"),
+        (F.col("zcr") + F.lit(0.0)).alias("zcr"),
+        F.col("peak").cast("long"),
+    )
+
+
 def _q_stream_window_rollup(spark, sf_dir):
     """Streaming windowed aggregation driver query: 1-hour tumbling
     windows over the events stream (complete mode, AvailableNow), with the
@@ -792,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_scores": _q_clustering_scores,
         "clustering_modularity": _q_clustering_modularity,
         "image_stats": _q_image_stats,
+        "audio_stats": _q_audio_stats,
         "lap_assignment": _q_lap_assignment,
         "fa2_attraction": _q_fa2_attraction,
         "bipartite_sets": _q_bipartite_sets,
@@ -1119,6 +1140,27 @@ SELECT CAST(asset_id AS BIGINT) AS asset_id,
        SUM(CASE WHEN i % 3 = 2 THEN v END) / {per_ch}.0 AS mean_b,
        SUM(CASE WHEN v < 128 THEN 1 ELSE 0 END) / {npx}.0 AS dark_frac
 FROM px GROUP BY asset_id
+"""
+
+
+def _sql_audio_stats(n: int = 32, sr: int = 16000, m: int = 2048) -> str:
+    """Sample-law mirror of the decoded chirp WAVs: zero-crossings use the
+    closed form of the NEXT sample (no window function), all accumulations
+    are exact integers, each output one IEEE division (+sqrt for rms)."""
+    return f"""
+WITH s AS (
+  SELECT a.asset_id, i.i,
+         CAST((137*a.asset_id + 31*i.i) % {4001} - 2000 AS BIGINT) AS v,
+         CAST((137*a.asset_id + 31*(i.i+1)) % {4001} - 2000 AS BIGINT) AS vn
+  FROM range(0, {n}) a(asset_id) CROSS JOIN range(0, {m}) i(i))
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST({sr} AS BIGINT) AS sample_rate,
+       CAST({m} AS BIGINT) AS n_samples,
+       {m} / {sr}.0 AS duration_sec,
+       SQRT(SUM(v*v) / {m}.0) AS rms,
+       SUM(CASE WHEN i < {m - 1} AND v * vn < 0 THEN 1 ELSE 0 END) / {m - 1}.0 AS zcr,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM s GROUP BY asset_id
 """
 
 
@@ -2350,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_scores": _sql_clustering_scores(),
         "clustering_modularity": _sql_clustering_modularity(),
         "image_stats": _sql_image_stats(),
+        "audio_stats": _sql_audio_stats(),
         "lap_assignment": _sql_lap_assignment(),
         "fa2_attraction": _sql_fa2_attraction(),
         "bipartite_sets": _sql_bipartite_sets(),

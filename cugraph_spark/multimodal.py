@@ -306,3 +306,195 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
         ]
     )
     return spark.range(n).mapInPandas(_gen, schema)
+
+# ---------------------------------------------------------------------------
+# Audio — REAL pure-numpy WAV (RIFF PCM16) path, same contract as images:
+# binary payloads stay in Arrow batches executor-side, only (id, payload)
+# enter the kernel, all arithmetic is integer-exact so stats are oracle-able.
+# Compressed formats (mp3/flac/ogg) dispatch to the stub exactly like
+# jpeg/png on the image side.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 1-D array → mono RIFF/WAVE PCM16 bytes — fixture/test encoder."""
+    pcm = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    hdr = (
+        b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")            # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")            # block align
+        + (16).to_bytes(2, "little")           # bits/sample
+        + b"data" + n.to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
+def _decode_wav(data: bytes):
+    """RIFF/WAVE PCM16 mono → (sample_rate, int16 array). Walks the chunk
+    list (handles extra chunks like LIST before data)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, bits, channels = 12, None, None, None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only PCM16 mono WAV supported (fmt={fmt}, bits={bits}, "
+                    f"channels={channels})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return sr, samples
+
+
+def _decode_audio(data: bytes, stub: str):
+    """(sample_rate, int16 samples) with a REAL path for RIFF/WAVE PCM16 and
+    a stub for codec formats (mp3/flac need decoder libs a real deployment
+    adds; the Spark-side contract — bytes in, samples out — is unchanged)."""
+    if data[:4] == b"RIFF":
+        return _decode_wav(data)
+    if stub == "error":
+        raise NotImplementedError(
+            "payload is not PCM WAV; codec formats (mp3/flac/ogg) require an "
+            "audio codec (ffmpeg/soundfile) not present in this container"
+        )
+    digest = hashlib.sha256(data).digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return 16000, rng.integers(-2048, 2048, size=256).astype(np.int16)
+
+
+def audio_features(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """[asset_id, sample_rate, n_samples, duration_sec, rms, zcr, peak] —
+    decode → integer-exact stats, one Arrow batch at a time.
+
+    All accumulations are int64 (sum of squares, crossing count, max |v|)
+    with a single float division/sqrt at the end, so an engine mirroring the
+    sample law reproduces every value bit-identically.  Only (id, payload)
+    enter the kernel — project before calling so the scan is pruned.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.DoubleType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sr, s = _decode_audio(bytes(payload), decode_stub)
+                v = s.astype(np.int64)
+                n = len(v)
+                sum_sq = int((v * v).sum())
+                # zero-crossing: strict sign product < 0 between neighbors
+                crossings = int(((v[:-1] * v[1:]) < 0).sum()) if n > 1 else 0
+                rows.append(
+                    (
+                        int(aid),
+                        int(sr),
+                        n,
+                        n / sr,
+                        float(np.sqrt(sum_sq / n)) if n else 0.0,
+                        crossings / (n - 1) if n > 1 else 0.0,
+                        int(np.abs(v).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples", "duration_sec",
+                    "rms", "zcr", "peak",
+                ],
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(_kernel, schema)
+
+
+def resample_audio(
+    assets: DataFrame,
+    target_rate: int = 8000,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """[asset_id, sample_rate, payload] — decode → nearest-neighbor resample
+    → re-encode WAV. Same kernel/batch contract as resize_images."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _kernel(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                sr, s = _decode_audio(bytes(payload), decode_stub)
+                m = max(int(round(len(s) * target_rate / sr)), 1)
+                idx = (np.arange(m) * len(s) // m).astype(int)
+                rows.append((int(aid), target_rate, encode_wav(s[idx], target_rate)))
+            yield pd.DataFrame(rows, columns=[id_col, "sample_rate", "payload"])
+
+    return assets.select(id_col, payload_col).mapInPandas(_kernel, schema)
+
+
+def chirp_audio_assets(
+    spark, n: int = 32, sample_rate: int = 16000, n_samples: int = 2048
+) -> DataFrame:
+    """Deterministic REAL-format audio table [asset_id, payload,
+    sample_rate, n_samples]: sample i of asset a is
+    ``((137·a + 31·i) mod 4001) − 2000`` (int16) — a closed integer form
+    any engine can mirror in SQL, so rms/zcr/peak are exactly oracle-able."""
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for a in pdf["id"].to_numpy():
+                i = np.arange(n_samples, dtype=np.int64)
+                s = ((137 * int(a) + 31 * i) % 4001 - 2000).astype(np.int16)
+                rows.append(
+                    (int(a), encode_wav(s, sample_rate), sample_rate, n_samples)
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "payload", "sample_rate", "n_samples"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+        ]
+    )
+    return spark.range(n).mapInPandas(_gen, schema)

@@ -319,3 +319,72 @@ def test_near_dup_clusters_transitive(spark):
     assert out[50].canonical_id == 40
     # singleton omitted
     assert 60 not in out
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode_wav → _decode_wav is exact, and the decoder walks extra RIFF
+    chunks (LIST before data) plus odd-size word alignment."""
+    s = np.array([0, 100, -100, 32767, -32768, 5], dtype=np.int16)
+    b = mm.encode_wav(s, 8000)
+    sr, out = mm._decode_wav(b)
+    assert sr == 8000 and np.array_equal(out, s)
+    # splice a LIST chunk (odd size → pad byte) between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = b[:fmt_end] + extra + b[fmt_end:]
+    riff_size = (len(spliced) - 8).to_bytes(4, "little")
+    spliced = spliced[:4] + riff_size + spliced[8:]
+    sr2, out2 = mm._decode_wav(spliced)
+    assert sr2 == 8000 and np.array_equal(out2, s)
+    with pytest.raises(ValueError):
+        mm._decode_wav(b"JUNKJUNKJUNKJUNK")
+    with pytest.raises(NotImplementedError):
+        # stereo fmt chunk → honest unsupported error
+        bad = bytearray(b)
+        bad[22] = 2  # channels field
+        mm._decode_wav(bytes(bad))
+
+
+def test_audio_features_match_sample_law(spark):
+    """Real WAV payloads through the Arrow kernel reproduce the closed-form
+    law ((137a+31i) mod 4001) − 2000 exactly (rms/zcr/peak bit-identical)."""
+    out = {
+        r.asset_id: r
+        for r in mm.audio_features(mm.chirp_audio_assets(spark, n=6)).collect()
+    }
+    for a in range(6):
+        i = np.arange(2048, dtype=np.int64)
+        v = (137 * a + 31 * i) % 4001 - 2000
+        r = out[a]
+        assert r.sample_rate == 16000 and r.n_samples == 2048
+        assert r.duration_sec == 2048 / 16000
+        assert r.rms == float(np.sqrt((v * v).sum() / 2048))
+        assert r.zcr == int(((v[:-1] * v[1:]) < 0).sum()) / 2047
+        assert r.peak == int(np.abs(v).max())
+
+
+def test_resample_audio_nearest_neighbor(spark):
+    """resample 16k→8k halves the sample count via the index grid
+    i·n//m and re-encodes a decodable WAV."""
+    rows = mm.resample_audio(
+        mm.chirp_audio_assets(spark, n=2), target_rate=8000
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        sr, s = mm._decode_wav(bytes(r.payload))
+        assert sr == 8000 and r.sample_rate == 8000
+        i = np.arange(2048, dtype=np.int64)
+        v = ((137 * r.asset_id + 31 * i) % 4001 - 2000).astype(np.int16)
+        m = 1024
+        idx = (np.arange(m) * 2048 // m).astype(int)
+        assert np.array_equal(s, v[idx])
+
+
+def test_audio_codec_stub_paths(spark):
+    """Non-RIFF payloads: error stub raises, fake stub is deterministic."""
+    assets = mm.synthetic_assets(spark, 2)  # random bytes, no RIFF magic
+    with pytest.raises(Exception):
+        mm.audio_features(assets, decode_stub="error").collect()
+    one = mm.audio_features(assets, decode_stub="fake").collect()
+    two = mm.audio_features(assets, decode_stub="fake").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
