@@ -572,6 +572,27 @@ def _q_audio_stats(spark, sf_dir):
     )
 
 
+def _q_video_stats(spark, sf_dir):
+    """End-to-end video pipeline: REAL Y4M (YUV4MPEG2 Cmono) payloads,
+    encoded executor-side → pure-numpy stream parse inside the Arrow
+    ``mapInPandas`` kernel → integer-exact per-asset stats.  The luma law
+    (pixel p of frame f of asset a = (11a+5f+3p) mod 251, multimodal.py
+    checker_video_assets) is a closed integer form; mean/motion are one
+    IEEE division over exact int64 sums, so values are bit-identical in
+    any engine mirroring the law."""
+    feats = mm.video_features(mm.checker_video_assets(spark, n=16))
+    return feats.select(
+        F.col("asset_id").cast("long"),
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("n_frames").cast("long"),
+        (F.col("duration_sec") + F.lit(0.0)).alias("duration_sec"),
+        (F.col("mean_luma") + F.lit(0.0)).alias("mean_luma"),
+        F.col("max_luma").cast("long"),
+        (F.col("motion") + F.lit(0.0)).alias("motion"),
+    )
+
+
 def _q_stream_window_rollup(spark, sf_dir):
     """Streaming windowed aggregation driver query: 1-hour tumbling
     windows over the events stream (complete mode, AvailableNow), with the
@@ -813,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_modularity": _q_clustering_modularity,
         "image_stats": _q_image_stats,
         "audio_stats": _q_audio_stats,
+        "video_stats": _q_video_stats,
         "lap_assignment": _q_lap_assignment,
         "fa2_attraction": _q_fa2_attraction,
         "bipartite_sets": _q_bipartite_sets,
@@ -1161,6 +1183,33 @@ SELECT CAST(asset_id AS BIGINT) AS asset_id,
        SUM(CASE WHEN i < {m - 1} AND v * vn < 0 THEN 1 ELSE 0 END) / {m - 1}.0 AS zcr,
        CAST(MAX(ABS(v)) AS BIGINT) AS peak
 FROM s GROUP BY asset_id
+"""
+
+
+def _sql_video_stats(
+    n: int = 16, w: int = 16, h: int = 16, nf: int = 24, fps: int = 25
+) -> str:
+    """Luma-law mirror of the decoded Y4M checker videos: motion uses the
+    closed form of the NEXT frame's pixel (no window function), all sums
+    exact integers, one IEEE division per output."""
+    npx = w * h
+    return f"""
+WITH px AS (
+  SELECT a.asset_id, f.f,
+         CAST((11*a.asset_id + 5*f.f + 3*p.p) % 251 AS BIGINT) AS v,
+         CAST((11*a.asset_id + 5*(f.f+1) + 3*p.p) % 251 AS BIGINT) AS vn
+  FROM range(0, {n}) a(asset_id)
+  CROSS JOIN range(0, {nf}) f(f) CROSS JOIN range(0, {npx}) p(p))
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST({w} AS BIGINT) AS width,
+       CAST({h} AS BIGINT) AS height,
+       CAST({nf} AS BIGINT) AS n_frames,
+       {nf} / {fps}.0 AS duration_sec,
+       SUM(v) / {nf * npx}.0 AS mean_luma,
+       CAST(MAX(v) AS BIGINT) AS max_luma,
+       SUM(CASE WHEN f < {nf - 1} THEN ABS(vn - v) ELSE 0 END)
+         / {(nf - 1) * npx}.0 AS motion
+FROM px GROUP BY asset_id
 """
 
 
@@ -2393,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_modularity": _sql_clustering_modularity(),
         "image_stats": _sql_image_stats(),
         "audio_stats": _sql_audio_stats(),
+        "video_stats": _sql_video_stats(),
         "lap_assignment": _sql_lap_assignment(),
         "fa2_attraction": _sql_fa2_attraction(),
         "bipartite_sets": _sql_bipartite_sets(),

@@ -1,10 +1,12 @@
 """Multimodal columns — image/audio/video as opaque ``binary`` + typed
 metadata, processed with Arrow-batched ``mapInPandas`` kernels.
 
-Image decoding is REAL (pure numpy) for the formats this container can
-generate — binary PPM (P6) and uncompressed 24-bit BMP — so
-``image_features``/``resize_images`` run end-to-end with no codec
-dependency.  Codec formats (jpeg/png/video) still dispatch to the stub:
+Decoding is REAL (pure numpy) for the formats this container can
+generate — binary PPM (P6) and uncompressed 24-bit BMP images,
+RIFF/WAVE PCM16 audio, and YUV4MPEG2 (Y4M) video — so
+``image_features``/``resize_images``/``audio_features``/
+``video_features``/``sample_video_frames`` run end-to-end with no codec
+dependency.  Codec formats (jpeg/png/mp3/mp4) still dispatch to the stub:
 ``decode_stub="fake"`` produces a deterministic pure function of the bytes
 (so tests pin exact outputs), ``decode_stub="error"`` raises
 NotImplementedError at the decode call site; a real deployment swaps in
@@ -217,13 +219,13 @@ def sample_video_frames(
     id_col: str = "asset_id",
     decode_stub: str = "fake",
 ) -> DataFrame:
-    """[asset_id, frame_idx, frame: binary] — frame sampling plumbing: the
-    stub treats the payload as a concatenation of fixed-size 'frames' and
-    emits every n-th; a real build swaps the splitter for pyav/ffmpeg."""
-    if decode_stub == "error":
-        raise NotImplementedError(
-            "video decoding requires ffmpeg/pyav, not present in this container"
-        )
+    """[asset_id, frame_idx, frame: binary] — every n-th frame per asset.
+
+    REAL path for Y4M payloads (``encode_y4m``/``_decode_y4m`` below):
+    frames are the decoded luma planes.  Codec containers (mp4/webm) keep
+    the honest splitter stub (``decode_stub="fake"`` treats the payload as
+    fixed-size chunks; ``"error"`` raises), so a real build swaps in
+    pyav/ffmpeg without touching the Spark plumbing."""
     frame_bytes = 64
     schema = T.StructType(
         [
@@ -238,6 +240,16 @@ def sample_video_frames(
             rows = []
             for aid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload)
+                if raw[:9] == b"YUV4MPEG2":
+                    _, _, _, fr = _decode_y4m(raw)
+                    for fi in range(0, len(fr), every_nth):
+                        rows.append((int(aid), fi, fr[fi].tobytes()))
+                    continue
+                if decode_stub == "error":
+                    raise NotImplementedError(
+                        "payload is not Y4M; codec containers require "
+                        "ffmpeg/pyav, not present in this container"
+                    )
                 n_frames = max(len(raw) // frame_bytes, 1)
                 for fi in range(0, n_frames, every_nth):
                     rows.append(
@@ -495,6 +507,181 @@ def chirp_audio_assets(
             T.StructField("payload", T.BinaryType()),
             T.StructField("sample_rate", T.IntegerType()),
             T.StructField("n_samples", T.IntegerType()),
+        ]
+    )
+    return spark.range(n).mapInPandas(_gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video — REAL pure-numpy Y4M (YUV4MPEG2, Cmono) path.  Y4M is ffmpeg's
+# uncompressed interchange format: an ASCII stream header, then per frame
+# an ASCII "FRAME" marker followed by raw planes — decodable with nothing
+# but byte slicing, yet bit-compatible with real tooling.  Codec containers
+# (mp4/webm) dispatch to the splitter stub exactly like jpeg on the image
+# side.  Frame pixels stay uint8 in Arrow batches; stats accumulate in
+# int64 with one final division so every value is exactly oracle-able.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n_frames, h, w) uint8 luma array → YUV4MPEG2 Cmono bytes —
+    fixture/test encoder. ffmpeg reads the result as-is."""
+    n, h, w = frames.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(
+        b"FRAME\n" + np.ascontiguousarray(frames[i], dtype=np.uint8).tobytes()
+        for i in range(n)
+    )
+    return hdr + body
+
+
+def _decode_y4m(data: bytes):
+    """YUV4MPEG2 → (width, height, fps, (n,h,w) uint8 luma frames).
+    Supports Cmono (luma-only) and C420* (chroma planes skipped)."""
+    nl = data.index(b"\n")
+    head = data[:nl].decode("ascii", "strict")
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fps = None
+    chroma = "420"
+    for tok in head.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C":
+            chroma = tok[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    luma = w * h
+    if chroma.startswith("mono"):
+        fsize = luma
+    elif chroma.startswith("420"):
+        fsize = luma + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("444"):
+        fsize = 3 * luma
+    else:
+        raise NotImplementedError(f"Y4M chroma {chroma} unsupported")
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker missing")
+        body = data[fnl + 1 : fnl + 1 + fsize]
+        if len(body) < fsize:
+            raise ValueError("Y4M truncated frame")
+        frames.append(
+            np.frombuffer(body[:luma], dtype=np.uint8).reshape(h, w)
+        )
+        pos = fnl + 1 + fsize
+    return w, h, (fps or 25), np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)
+
+
+def video_features(
+    assets: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """[asset_id, width, height, n_frames, fps, duration_sec, mean_luma,
+    max_luma, motion] — Y4M decode → integer-exact per-asset stats.
+
+    ``motion`` is the mean absolute luma difference between consecutive
+    frames — the standard cheap scene-activity proxy — accumulated in
+    int64, divided once.  Non-Y4M payloads use the stub (fake/error),
+    matching the image/audio dispatch contract.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("duration_sec", T.DoubleType()),
+            T.StructField("mean_luma", T.DoubleType()),
+            T.StructField("max_luma", T.LongType()),
+            T.StructField("motion", T.DoubleType()),
+        ]
+    )
+
+    def _decode(data: bytes):
+        if data[:9] == b"YUV4MPEG2":
+            return _decode_y4m(data)
+        if decode_stub == "error":
+            raise NotImplementedError(
+                "payload is not Y4M; codec containers (mp4/webm) require "
+                "ffmpeg/pyav, not present in this container"
+            )
+        digest = hashlib.sha256(data).digest()
+        seed = int.from_bytes(digest[:8], "big") % (2**32)
+        rng = np.random.default_rng(seed)
+        return 8, 8, 25, rng.integers(0, 256, size=(4, 8, 8)).astype(np.uint8)
+
+    def _kernel(batches):
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, fps, fr = _decode(bytes(payload))
+                v = fr.astype(np.int64)
+                n, npx = len(v), w * h
+                tot = int(v.sum())
+                diff = (
+                    int(np.abs(v[1:] - v[:-1]).sum()) if n > 1 else 0
+                )
+                rows.append(
+                    (
+                        int(aid), w, h, n, fps,
+                        n / fps,
+                        tot / (n * npx) if n else 0.0,
+                        int(v.max()) if n else 0,
+                        diff / ((n - 1) * npx) if n > 1 else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_frames", "fps",
+                    "duration_sec", "mean_luma", "max_luma", "motion",
+                ],
+            )
+
+    return assets.select(id_col, payload_col).mapInPandas(_kernel, schema)
+
+
+def checker_video_assets(
+    spark, n: int = 16, w: int = 16, h: int = 16, n_frames: int = 24,
+    fps: int = 25,
+) -> DataFrame:
+    """Deterministic REAL-format video table [asset_id, payload, width,
+    height, n_frames]: luma of pixel p in frame f of asset a is
+    ``(11·a + 5·f + 3·p) mod 251`` — a closed integer form any engine can
+    mirror in SQL, so mean/max/motion are exactly oracle-able."""
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for a in pdf["id"].to_numpy():
+                f_idx = np.arange(n_frames, dtype=np.int64)[:, None]
+                p_idx = np.arange(w * h, dtype=np.int64)[None, :]
+                fr = ((11 * int(a) + 5 * f_idx + 3 * p_idx) % 251).astype(
+                    np.uint8
+                ).reshape(n_frames, h, w)
+                rows.append((int(a), encode_y4m(fr, fps), w, h, n_frames))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "payload", "width", "height", "n_frames"],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
         ]
     )
     return spark.range(n).mapInPandas(_gen, schema)

@@ -388,3 +388,66 @@ def test_audio_codec_stub_paths(spark):
     one = mm.audio_features(assets, decode_stub="fake").collect()
     two = mm.audio_features(assets, decode_stub="fake").collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+
+
+def test_y4m_roundtrip_and_chroma_skip():
+    """encode_y4m → _decode_y4m is exact for Cmono; C420 frames skip the
+    chroma planes; junk raises."""
+    fr = np.arange(3 * 4 * 4, dtype=np.uint8).reshape(3, 4, 4)
+    w, h, fps, out = mm._decode_y4m(mm.encode_y4m(fr, fps=30))
+    assert (w, h, fps) == (4, 4, 30) and np.array_equal(out, fr)
+    # hand-build a C420 stream: luma plane + 2 quarter chroma planes
+    luma = fr[0]
+    chroma = np.full((2, 2), 128, np.uint8)
+    body = b"FRAME\n" + luma.tobytes() + chroma.tobytes() * 2
+    data = b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\n" + body * 2
+    w2, h2, _, out2 = mm._decode_y4m(data)
+    assert (w2, h2) == (4, 4) and out2.shape == (2, 4, 4)
+    assert np.array_equal(out2[0], luma) and np.array_equal(out2[1], luma)
+    with pytest.raises(ValueError):
+        mm._decode_y4m(b"NOTAVIDEO\nxxxx")
+
+
+def test_video_features_match_luma_law(spark):
+    """Real Y4M payloads through the Arrow kernel reproduce the closed-form
+    law (11a+5f+3p) mod 251 exactly (mean/max/motion bit-identical)."""
+    out = {
+        r.asset_id: r
+        for r in mm.video_features(mm.checker_video_assets(spark, n=4)).collect()
+    }
+    for a in range(4):
+        f_idx = np.arange(24, dtype=np.int64)[:, None]
+        p_idx = np.arange(256, dtype=np.int64)[None, :]
+        v = (11 * a + 5 * f_idx + 3 * p_idx) % 251
+        r = out[a]
+        assert (r.width, r.height, r.n_frames, r.fps) == (16, 16, 24, 25)
+        assert r.duration_sec == 24 / 25
+        assert r.mean_luma == int(v.sum()) / (24 * 256)
+        assert r.max_luma == int(v.max())
+        assert r.motion == int(np.abs(v[1:] - v[:-1]).sum()) / (23 * 256)
+
+
+def test_sample_video_frames_real_y4m(spark):
+    """Y4M payloads yield REAL decoded luma planes every n-th frame."""
+    rows = mm.sample_video_frames(
+        mm.checker_video_assets(spark, n=2), every_nth=10
+    ).collect()
+    got = {(r.asset_id, r.frame_idx): bytes(r.frame) for r in rows}
+    assert set(got) == {(a, f) for a in range(2) for f in (0, 10, 20)}
+    p_idx = np.arange(256, dtype=np.int64)
+    for (a, f), blob in got.items():
+        want = ((11 * a + 5 * f + 3 * p_idx) % 251).astype(np.uint8).tobytes()
+        assert blob == want
+
+
+def test_video_codec_stub_paths(spark):
+    """Non-Y4M payloads: error stub raises in both kernels, fake stub is
+    deterministic."""
+    assets = mm.synthetic_assets(spark, 2)  # random bytes, no Y4M magic
+    with pytest.raises(Exception):
+        mm.video_features(assets, decode_stub="error").collect()
+    with pytest.raises(Exception):
+        mm.sample_video_frames(assets, decode_stub="error").collect()
+    one = mm.video_features(assets, decode_stub="fake").collect()
+    two = mm.video_features(assets, decode_stub="fake").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
