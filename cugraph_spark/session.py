@@ -21,9 +21,19 @@ def ship_package(spark: SparkSession) -> None:
     analog, per the north rule) so pandas-UDF closures that reference
     module globals deserialize on any worker regardless of driver cwd."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    if not os.path.isdir(pkg_dir):
+        # already imported from an archive (spark-submit --py-files zip):
+        # submit distributed it to every executor, nothing to ship — and
+        # make_archive on the zip path would raise NotADirectoryError.
+        if os.path.isfile(root):
+            try:
+                spark.sparkContext.addPyFile(root)  # no-op if already added
+            except Exception:
+                pass
+        return
     tmp = tempfile.mkdtemp(prefix="cugraph_spark_pyfiles_")
     zip_base = os.path.join(tmp, "cugraph_spark_pkg")
-    root = os.path.dirname(pkg_dir)
     archive = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="cugraph_spark")
     spark.sparkContext.addPyFile(archive)
 
