@@ -67,14 +67,24 @@ def triangle_count(
     # leaf-fringes remain.
     und = truncate_state(und, n_part, SRC)
     before_cnt = und.count()  # carried across rounds — one count action/round
+    deg = None
     for _ in range(5):
         dg = (
             und.select(F.col(SRC).alias("v"))
             .union(und.select(F.col(DST).alias("v")))
             .groupBy("v")
             .agg(F.count("*").alias("d"))
+            .persist()
         )
         low = dg.filter(F.col("d") < 2).select("v")
+        # every vertex in dg has d >= 1, so "low empty" <=> this round's
+        # anti-join would remove nothing (the old after==before case) —
+        # probing it on the cached dg is a V-row filter, and on a
+        # leaf-free graph it short-circuits the whole round AND donates
+        # dg as the orientation degree frame (skips a second E-row agg)
+        if low.count() == 0:
+            deg = dg.withColumnRenamed("d", "deg")
+            break
         # re-pin column order: a USING join moves its key first, so after
         # the DST anti-join the frame is (dst, src) — and the positional
         # UNION in the orientation step would silently swap endpoints
@@ -86,9 +96,7 @@ def triangle_count(
             SRC,
         )
         after_cnt = pruned.count()
-        if after_cnt == before_cnt:
-            pruned.unpersist()
-            break
+        dg.unpersist()
         und.unpersist()
         und = pruned
         # diminishing returns: stop once a round removes <5% of edges
@@ -96,13 +104,16 @@ def triangle_count(
             break
         before_cnt = after_cnt
 
-    # degree on the simple undirected graph
-    deg = (
-        und.select(F.col(SRC).alias("v"))
-        .union(und.select(F.col(DST).alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("deg"))
-    )
+    # degree on the simple undirected graph (unless the peel's last round
+    # already proved its degree frame current and donated it above)
+    if deg is None:
+        deg = (
+            und.select(F.col(SRC).alias("v"))
+            .union(und.select(F.col(DST).alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+            .persist()
+        )
 
     # orient low→high degree, id tie-break (impl.cuh:86-103).  `und` holds
     # each undirected edge exactly once (canonical src<dst), so orientation
@@ -113,17 +124,24 @@ def triangle_count(
     low_first = (F.col("deg_s") < F.col("deg_d")) | (
         (F.col("deg_s") == F.col("deg_d")) & (F.col(SRC) < F.col(DST))
     )
-    oriented = (
+    # truncate_state (eager localCheckpoint + filled cache), not a lazy
+    # persist: `oriented` is scanned three times by the intersection stage
+    # (the edge stream plus both adjacency sides), and a lazy persist
+    # unpersisted before the caller's action never materializes — leaving
+    # the degree joins to re-execute per scan unless AQE happens to reuse
+    # the exchanges.
+    oriented = truncate_state(
         und.join(d1, SRC)
         .join(d2, DST)
         .select(
             F.when(low_first, F.col(SRC)).otherwise(F.col(DST)).alias("o_src"),
             F.when(low_first, F.col(DST)).otherwise(F.col(SRC)).alias("o_dst"),
         )
-        .select(F.col("o_src").alias(SRC), F.col("o_dst").alias(DST))
-        .repartition(n_part, SRC)
-        .persist()
+        .select(F.col("o_src").alias(SRC), F.col("o_dst").alias(DST)),
+        n_part,
+        SRC,
     )
+    deg.unpersist()
 
     adj = oriented.groupBy(F.col(SRC).alias("v")).agg(
         F.sort_array(F.collect_list(DST)).alias("nbrs")
