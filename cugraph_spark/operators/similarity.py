@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import DST, SRC, VID, LinkGraph
+from ..graph import DST, SRC, VID, LinkGraph, truncate_state
 
 
 def _safe_div(num, den):
@@ -64,7 +64,10 @@ def _pair_stats(graph: LinkGraph, vertex_pair: DataFrame | None) -> DataFrame:
     to |N(a)∩N(b)| — so ``E ⋈ E`` on the shared endpoint + groupBy(a,b).count
     computes all intersections in one shuffle.
     """
-    und = _undirected_edges(graph).persist()
+    # eager (truncate_state), not a lazy persist: this frame is scanned
+    # three times downstream and the function unpersists before the
+    # caller's action runs — a lazy persist would never materialize
+    und = truncate_state(_undirected_edges(graph))
     deg = und.groupBy(F.col(SRC).alias("v")).agg(F.count("*").alias("deg"))
 
     e1 = und.select(F.col(SRC).alias("first"), F.col(DST).alias("w"))
@@ -135,7 +138,10 @@ def _weighted_pair_stats(
     else:
         wsel = wsel.select(F.col("vertex").cast("long").alias("v"), "_w")
 
-    und = _undirected_edges(graph).persist()
+    # eager (truncate_state), not a lazy persist: this frame is scanned
+    # three times downstream and the function unpersists before the
+    # caller's action runs — a lazy persist would never materialize
+    und = truncate_state(_undirected_edges(graph))
     # neighbor weights: every (src, dst) edge carries w(dst); missing → 0
     nbrw = (
         und.join(wsel.withColumnRenamed("v", DST), DST, "left")
