@@ -5,22 +5,27 @@ pandas-UDF kernels, explicit partitioning/skew handling, per-iteration
 checkpointing. Not a port — see SURVEY.md for the mapping.
 """
 
-from . import csr, multimodal, text, vector
+from . import csr, exceptions, multimodal, text, vector
+from .exceptions import FailedToConvergeError
 from .graph import GraphProperties, LinkGraph, symmetrize_edges
 from .graph_classes import BiPartiteGraph, NPartiteGraph, Tree
 from .session import get_spark
 
-__all__ = [
-    "LinkGraph",
-    "GraphProperties",
+# Reference-parity surface: every name the reference exports at
+# ``cugraph.*`` (python/cugraph/cugraph/__init__.py:14-121) is importable
+# at ``cugraph_spark.*`` with the same spelling — see api.py.
+from .api import *  # noqa: F401,F403
+from .api import REFERENCE_EXPORTS, __all__ as _api_all
+
+__all__ = list(_api_all) + [
     "symmetrize_edges",
-    "Tree",
-    "NPartiteGraph",
-    "BiPartiteGraph",
     "get_spark",
     "text",
     "vector",
     "multimodal",
     "csr",
+    "exceptions",
+    "FailedToConvergeError",
+    "REFERENCE_EXPORTS",
 ]
 __version__ = "0.1.0"

@@ -19,19 +19,31 @@ from ..graph import DST, SRC, VID, WGT, LinkGraph, truncate_state
 
 
 def minimum_spanning_tree(
-    graph: LinkGraph, max_rounds: int = 64, unrenumber: bool = True
+    graph: LinkGraph, max_rounds: int = 64, unrenumber: bool = True, _sign: float = 1.0
 ) -> DataFrame:
     """Edge list [src, dst, weight] of the minimum spanning forest over the
-    undirected view of the graph."""
+    undirected view of the graph.
+
+    ``_sign=-1.0`` flips the objective (used by ``maximum_spanning_tree``):
+    the Borůvka loop runs on negated weights, and the output weights are
+    negated back, so MAX-forest = MIN-forest of the negated graph —
+    the same reduction the reference uses
+    (``tree/minimum_spanning_tree.py:45-62``, ``_maximum_spanning_tree_subgraph``
+    negates ``edgelist.weights`` in place before the MST call).
+    """
     n_part = graph.num_partitions
 
     und = (
         graph.edges.select(
-            F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b"), F.col(WGT).alias("w")
+            F.least(SRC, DST).alias("a"),
+            F.greatest(SRC, DST).alias("b"),
+            F.col(WGT).alias("w"),
         )
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
-        .agg(F.min("w").alias("w"))
+        # min-dedup FIRST, then negate: mirrors the reference, which negates
+        # the weights of an already-built (min-dedup'd) graph in place.
+        .agg((F.min("w") * F.lit(_sign)).alias("w"))
     )
     und = truncate_state(und, n_part, "a")
 
@@ -116,7 +128,23 @@ def minimum_spanning_tree(
         out = forest.select(
             F.col("a").alias(SRC), F.col("b").alias(DST), F.col("w").alias(WGT)
         )
+    if _sign != 1.0:
+        out = out.select(SRC, DST, (F.col(WGT) * F.lit(_sign)).alias(WGT))
     if unrenumber:
         out = graph.unrenumber(out, SRC)
         out = graph.unrenumber(out, DST)
     return out
+
+
+def maximum_spanning_tree(
+    graph: LinkGraph, max_rounds: int = 64, unrenumber: bool = True
+) -> DataFrame:
+    """Edge list [src, dst, weight] of the MAXIMUM spanning forest.
+
+    Reference parity: ``tree/minimum_spanning_tree.py:108-148``
+    (``maximum_spanning_tree``) — same Borůvka machinery on negated weights;
+    returned weights are the original (positive) ones.
+    """
+    return minimum_spanning_tree(
+        graph, max_rounds=max_rounds, unrenumber=unrenumber, _sign=-1.0
+    )

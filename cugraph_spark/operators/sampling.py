@@ -141,3 +141,68 @@ def node2vec(
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
     return out
+
+
+def rw_path(num_paths: int, sizes: DataFrame) -> DataFrame:
+    """Per-path offset bookkeeping for un-padded random-walk output.
+
+    Reference parity: ``sampling/random_walks.py:232-275`` (``rw_path``) —
+    given path sizes in walk order, returns one row per path:
+
+    - ``vertex_offsets``  — exclusive prefix sum of ``size``
+    - ``weight_sizes``    — ``size - 1`` (edges per path)
+    - ``weight_offsets``  — exclusive prefix sum of ``size - 1``
+
+    ``sizes`` is a DataFrame with columns ``(walk_id, size)``, or the tidy
+    ``random_walks`` output ``(walk_id, step, vertex)`` from which sizes are
+    derived. Output adds ``walk_id`` so rows stay addressable after a shuffle
+    (the reference relies on positional indexing, meaningless in a
+    distributed frame).
+
+    Scale note: a global running sum is NOT computed with an unpartitioned
+    window (that collapses to one task). Two-phase scan instead: per-range
+    partial sums are aggregated (tiny — one row per partition), broadcast
+    back as base offsets, and the running sum completes per-partition.
+    """
+    cols = set(sizes.columns)
+    if "size" not in cols:
+        if not {"walk_id", "step"} <= cols:
+            raise ValueError("sizes needs (walk_id, size) or (walk_id, step, vertex)")
+        sizes = sizes.groupBy("walk_id").agg(F.count("*").alias("size"))
+    df = sizes.select("walk_id", F.col("size").cast("long").alias("size"))
+    # Pin the range partitioning: both branches below (partial sums + final
+    # scan) must observe the SAME _pid assignment, and range-sampled bounds
+    # are not stable across lineage re-execution.
+    df = truncate_state(
+        df.repartitionByRange("walk_id").withColumn("_pid", F.spark_partition_id())
+    )
+
+    part_tot = df.groupBy("_pid").agg(
+        F.sum("size").alias("_pv"),
+        F.sum(F.col("size") - 1).alias("_pw"),
+        F.min("walk_id").alias("_lo"),
+    )
+    wp = (
+        Window.orderBy("_lo")  # one row per partition: tiny, driver-safe
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = part_tot.select(
+        "_pid",
+        F.coalesce(F.sum("_pv").over(wp), F.lit(0)).alias("_bv"),
+        F.coalesce(F.sum("_pw").over(wp), F.lit(0)).alias("_bw"),
+    )
+    win = Window.partitionBy("_pid").orderBy("walk_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = (
+        df.withColumn("_cv", F.coalesce(F.sum("size").over(win), F.lit(0)))
+        .withColumn("_cw", F.coalesce(F.sum(F.col("size") - 1).over(win), F.lit(0)))
+        .join(F.broadcast(base), "_pid")
+        .select(
+            "walk_id",
+            (F.col("_bv") + F.col("_cv")).alias("vertex_offsets"),
+            (F.col("size") - 1).alias("weight_sizes"),
+            (F.col("_bw") + F.col("_cw")).alias("weight_offsets"),
+        )
+    )
+    return out.orderBy("walk_id").limit(int(num_paths))

@@ -28,6 +28,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..exceptions import FailedToConvergeError
 from ..graph import DST, SRC, VID, LinkGraph, truncate_state
 
 
@@ -162,7 +163,7 @@ def strongly_connected_components(
                 "a multi-vertex SCC. Raise max_outer."
             )
             if fail_on_nonconvergence:
-                raise RuntimeError(msg)
+                raise FailedToConvergeError(msg)
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
         leftover = verts.select("v", F.col("v").alias("labels"))
         assigned = leftover if assigned is None else assigned.union(leftover)

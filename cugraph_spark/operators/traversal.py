@@ -206,6 +206,47 @@ def sssp(
     return out
 
 
+def bfs_edges(
+    graph: LinkGraph,
+    source,
+    reverse: bool = False,
+    depth_limit: int | None = None,
+    sort_neighbors=None,
+) -> DataFrame:
+    """NetworkX-compat BFS wrapper → DF[vertex, distance, predecessor].
+
+    Reference parity: ``traversal/bfs.py:256-330`` (``bfs_edges``) — a thin
+    delegate to ``bfs``; ``reverse=True`` and ``sort_neighbors`` raise
+    NotImplementedError exactly as the reference does.
+    """
+    if reverse is True:
+        raise NotImplementedError(
+            "reverse processing of graph is currently not supported"
+        )
+    if sort_neighbors is not None:
+        raise NotImplementedError("sort_neighbors is currently not supported")
+    return bfs(graph, source, depth_limit=depth_limit)
+
+
+def concurrent_bfs(graphs, sources, depth_limit=None, offload=False):
+    """Unimplemented in the reference (``traversal/ms_bfs.py:108-160`` raises
+    before any work); mirrored here so callers porting code get the same
+    signal rather than a silent AttributeError."""
+    raise NotImplementedError(
+        "concurrent_bfs is not implemented (the reference raises too); "
+        "run bfs() per (graph, source) — each call is already distributed"
+    )
+
+
+def multi_source_bfs(graph, sources, components=None, depth_limit=None, offload=False):
+    """Unimplemented in the reference (``traversal/ms_bfs.py:183-243`` raises
+    before any work); mirrored for signature parity."""
+    raise NotImplementedError(
+        "multi_source_bfs is not implemented (the reference raises too); "
+        "run bfs() per source — each call is already distributed"
+    )
+
+
 # --------------------------------------------------------------- path helpers
 # Reference: ``traversal/sssp.py:264-291`` (filter_unreachable),
 # ``sssp.py:313-389`` (shortest_path_length),
