@@ -68,6 +68,7 @@ from cugraph_spark.operators import (  # noqa: E402
     clustering_score_frame,
     hungarian,
 )
+from cugraph_spark.operators.bicliques import find_bicliques  # noqa: E402
 from cugraph_spark import multimodal as mm  # noqa: E402
 from cugraph_spark import streaming as st  # noqa: E402
 from cugraph_spark import text as tx  # noqa: E402
@@ -335,6 +336,32 @@ def _q_mst_summary(spark, sf_dir):
     return mst.agg(
         F.count("*").cast("long").alias("n_edges"),
         F.sum("weight").cast("double").alias("total_weight"),
+    )
+
+
+def _q_bicliques(spark, sf_dir):
+    """Greedy biclique mining over the part→supplier bipartite relation:
+    machines = parts, features = suppliers, flag = part id divisible by 7.
+    support=0.25 matches this table's co-occurrence density (co_cnt ≈
+    0.3·deg), so the qualifying-feature sets are nontrivial."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        F.col("l_suppkey").cast("long").alias("dst"),
+        F.when(F.col("l_partkey") % 7 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flag"),
+    ).distinct()
+    _, S = find_bicliques(
+        e, k=-1, support=0.25, min_features=1, min_machines=10
+    )
+    return S.select(
+        F.col("id").cast("long"),
+        F.col("total").cast("long"),
+        F.col("machines").cast("long"),
+        F.col("features").cast("long"),
+        F.round("bad_ratio", 6).alias("bad_ratio"),
     )
 
 
@@ -809,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden": _q_leiden,
         "ecg": _q_ecg,
         "mst_summary": _q_mst_summary,
+        "bicliques": _q_bicliques,
         "betweenness": _q_betweenness,
         "edge_betweenness": _q_edge_betweenness,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -2187,6 +2215,51 @@ FROM verts LEFT JOIN (SELECT v, MIN(u) mn FROM mutual GROUP BY v) p ON p.v = ver
 """
 
 
+def _sql_bicliques() -> str:
+    """Literal SQL restatement of the reference's greedy feature-major loop
+    (degree-sorted scan, consecutive machine-set dedup via LAG over the
+    canonical member string, co-occurrence qualification, ordinal ids)."""
+    return """
+WITH e AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src, CAST(l_suppkey AS BIGINT) AS dst,
+         CASE WHEN l_partkey % 7 = 0 THEN 1 ELSE 0 END AS flag
+  FROM lineitem
+),
+feat AS (
+  SELECT dst, COUNT(*) AS cnt,
+         SUM(CASE WHEN flag = 1 THEN 1 ELSE 0 END) AS nbad,
+         string_agg(src::VARCHAR, ',' ORDER BY src) AS mset
+  FROM e GROUP BY dst
+),
+scan AS (
+  SELECT dst, cnt, nbad,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, dst) AS rank,
+         LAG(mset) OVER (ORDER BY cnt DESC, dst) AS lmset, mset
+  FROM feat
+),
+cand AS (SELECT dst, cnt, nbad, rank FROM scan WHERE lmset IS NULL OR mset <> lmset),
+co AS (
+  SELECT e1.dst AS f, e2.dst AS g, COUNT(*) AS co_cnt
+  FROM e e1 JOIN cand c ON c.dst = e1.dst JOIN e e2 ON e2.src = e1.src
+  GROUP BY e1.dst, e2.dst
+),
+qual AS (
+  SELECT co.f FROM co JOIN cand ON cand.dst = co.f
+  WHERE co.co_cnt >= FLOOR(cand.cnt * 0.25)
+),
+nfeat AS (SELECT f, COUNT(*) AS n_feat FROM qual GROUP BY f),
+emit AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY rank) - 1 AS id, cnt, nbad, n_feat
+  FROM cand JOIN nfeat ON nfeat.f = cand.dst
+  WHERE n_feat > 1 AND cnt >= 10
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(cnt + n_feat AS BIGINT) AS total,
+       CAST(cnt AS BIGINT) AS machines, CAST(n_feat AS BIGINT) AS features,
+       ROUND(nbad * 1.0 / (cnt + n_feat), 6) AS bad_ratio
+FROM emit
+"""
+
+
 def _sql_mst_summary() -> str:
     """A spanning forest of an unweighted graph has V − #components edges
     of weight 1.0 each — checkable from the WCC closure without running an
@@ -2407,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
         "ego_graph": _sql_ego_graph(),
         "scc": _sql_scc(),
         "mst_summary": _sql_mst_summary(),
+        "bicliques": _sql_bicliques(),
         "ktruss": _sql_ktruss(),
         "louvain": _sql_louvain(),
         "leiden": _sql_leiden(),
