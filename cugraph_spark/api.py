@@ -177,6 +177,42 @@ class Graph:
             renumber=renumber,
         )
 
+    def from_cudf_adjlist(
+        self,
+        offset_col,
+        index_col,
+        value_col=None,
+        renumber: bool = True,
+        store_transposed: bool = False,
+    ) -> "Graph":
+        """CSR arrays → graph (reference ``graph_classes.py:206-360``).
+        Driver-side sequences, like the reference's cudf.Series — see
+        ``from_adjlist`` for the scale note."""
+        self._g = from_adjlist(
+            offset_col,
+            index_col,
+            values=value_col,
+            create_using=Graph(directed=self.directed),
+        )
+        return self
+
+    def from_pandas_adjacency(self, pdf) -> "Graph":
+        self._g = LinkGraph.from_pandas_adjacency(
+            _spark(), pdf, directed=self.directed
+        )
+        return self
+
+    def from_numpy_array(self, np_array, nodes=None) -> "Graph":
+        self._g = LinkGraph.from_numpy_array(
+            _spark(), np_array, directed=self.directed
+        )
+        if nodes is not None:
+            self._g.add_nodes_from(nodes)
+        return self
+
+    def from_numpy_matrix(self, np_matrix) -> "Graph":
+        return self.from_numpy_array(np_matrix)
+
     def __getattr__(self, name):
         g = object.__getattribute__(self, "_g")
         if g is None:
@@ -294,17 +330,7 @@ def from_pandas_adjacency(df, create_using=None):
 
 
 def to_pandas_adjacency(G):
-    import pandas as pd
-
-    g = _as_link_graph(G)
-    a = g.to_numpy_array()
-    # label axes with external ids when renumbered (internal ids otherwise)
-    if g.renumber_map is not None:
-        m = {r["id"]: r["ext_id"] for r in g.renumber_map.collect()}
-        labels = [m[i] for i in range(a.shape[0])]
-    else:
-        labels = list(range(a.shape[0]))
-    return pd.DataFrame(a, index=labels, columns=labels)
+    return _as_link_graph(G).to_pandas_adjacency()
 
 
 def from_numpy_array(A, create_using=None):

@@ -394,6 +394,42 @@ class LinkGraph:
             )
         return self._degrees_cache
 
+    def _degree_frame(self, vertex_subset, col: str) -> DataFrame:
+        """Reference ``simpleGraph.py:852-1050`` (``_degree``): DF[vertex,
+        degree] over EXTERNAL ids, optionally filtered to vertex_subset."""
+        d = self.degrees()
+        if col == "both":
+            out = d.select(
+                VID, (F.col("in_degree") + F.col("out_degree")).alias("degree")
+            )
+        else:
+            out = d.select(VID, F.col(col).alias("degree"))
+        out = self.unrenumber(out.withColumnRenamed(VID, "vertex"), "vertex")
+        if vertex_subset is not None:
+            if isinstance(vertex_subset, DataFrame):
+                keep = vertex_subset.select(
+                    F.col(vertex_subset.columns[0]).alias("vertex")
+                )
+            else:
+                keep = self.spark.createDataFrame(
+                    [(v,) for v in vertex_subset], ["vertex"]
+                )
+            out = out.join(F.broadcast(keep.distinct()), "vertex")
+        return out
+
+    def degree(self, vertex_subset=None) -> DataFrame:
+        """Total degree (in + out) per vertex — reference
+        ``simpleGraph.py:935-975``."""
+        return self._degree_frame(vertex_subset, "both")
+
+    def in_degree(self, vertex_subset=None) -> DataFrame:
+        """Reference ``simpleGraph.py:852-892``."""
+        return self._degree_frame(vertex_subset, "in_degree")
+
+    def out_degree(self, vertex_subset=None) -> DataFrame:
+        """Reference ``simpleGraph.py:894-933``."""
+        return self._degree_frame(vertex_subset, "out_degree")
+
     def out_weight_sums(self) -> DataFrame:
         """[id, out_wsum] — Σ outgoing edge weight per vertex, 0 for dangling
         (reference ``pagerank_impl.cuh:188-205``: out-degree if unweighted)."""
@@ -458,6 +494,180 @@ class LinkGraph:
         # undirected graphs store both (u,v) and (v,u) internally, so |E|
         # here is already 2x the logical edge count — same formula either way
         return e / (v * (v - 1))
+
+    def number_of_nodes(self) -> int:
+        """Alias of ``number_of_vertices`` (reference
+        ``simpleGraph.py:819-825``)."""
+        return self.number_of_vertices()
+
+    def is_renumbered(self) -> bool:
+        """Reference ``graph_classes.py:659-663``."""
+        return self.properties.renumbered
+
+    def is_weighted(self) -> bool:
+        """Reference ``graph_classes.py:665-669``."""
+        return self.properties.weighted
+
+    def is_remote(self) -> bool:
+        """Reference ``graph_classes.py:677-681`` — always False (no
+        remote-graph service in either engine's in-process mode)."""
+        return False
+
+    def is_multi_gpu(self) -> bool:
+        """Reference ``graph_classes.py:683-688`` distinguishes the dask
+        (distributed) implementation; a Spark DataFrame graph is ALWAYS
+        cluster-distributed, so this is True — there is no single-device
+        code path to fall back to."""
+        return True
+
+    def has_self_loop(self) -> bool:
+        """Reference ``simpleGraph.py:1252-1262``."""
+        return (
+            self.edges.filter(F.col(SRC) == F.col(DST)).limit(1).count() > 0
+        )
+
+    def has_isolated_vertices(self) -> bool:
+        """True when ``add_nodes_from`` registered vertices that never
+        appear as an edge endpoint (reference ``graph_classes.py:671-675``;
+        an edge-list-built graph cannot otherwise contain one)."""
+        if self._all_nodes is None:
+            return False
+        return self.nodes().count() > self.number_of_vertices()
+
+    def vertex_column_size(self) -> int:
+        """Number of columns in the external vertex key (reference
+        ``simpleGraph.py:1314-1318``): >1 only for multi-column-key
+        renumbered graphs, where ``ext_id`` is a struct."""
+        if self.renumber_map is None:
+            return 1
+        t = self.renumber_map.schema[EXT].dataType
+        return len(t.names) if hasattr(t, "names") else 1
+
+    # ------------------------------------------------- id-space translation
+    def lookup_internal_vertex_id(self, df, column_name=None) -> DataFrame:
+        """External vertex ids → DF[id] of internal ids (reference
+        ``graph_classes.py:544-566``; order not guaranteed, as there).
+        ``df`` is a Spark DataFrame (``column_name`` picks the column) or a
+        driver-side iterable/Series of external ids."""
+        if self.renumber_map is None:
+            c = column_name or (df.columns[0] if isinstance(df, DataFrame) else None)
+            src = (
+                df.select(F.col(c).cast("long").alias(VID))
+                if isinstance(df, DataFrame)
+                else self.spark.createDataFrame([(int(v),) for v in df], [VID])
+            )
+            return src
+        if isinstance(df, DataFrame):
+            keys = df.select(F.col(column_name or df.columns[0]).alias(EXT))
+        else:
+            keys = self.spark.createDataFrame([(v,) for v in df], [EXT])
+        m = self.renumber_map
+        return keys.join(F.broadcast(m) if self._map_small() else m, EXT).select(VID)
+
+    def add_internal_vertex_id(
+        self,
+        df: DataFrame,
+        internal_column_name: str,
+        external_column_name,
+        drop: bool = True,
+        preserve_order: bool = False,
+    ) -> DataFrame:
+        """Join the internal vertex id onto a frame keyed by external ids
+        (reference ``graph_classes.py:568-614``). ``external_column_name``
+        may be a list for multi-column keys (packed into the same struct
+        shape the renumber map stores)."""
+        ext_cols = (
+            list(external_column_name)
+            if isinstance(external_column_name, (list, tuple))
+            else [external_column_name]
+        )
+        if preserve_order:
+            df = df.withColumn("_ord", F.monotonically_increasing_id())
+        if self.renumber_map is None:
+            out = df.withColumn(
+                internal_column_name, F.col(ext_cols[0]).cast("long")
+            )
+        else:
+            if len(ext_cols) == 1:
+                key = F.col(ext_cols[0]).alias("_k")
+            else:
+                key = F.struct(
+                    *[F.col(c).alias(f"k{i}") for i, c in enumerate(ext_cols)]
+                ).alias("_k")
+            m = self.renumber_map.select(
+                F.col(EXT).alias("_k"), F.col(VID).alias(internal_column_name)
+            )
+            out = df.withColumn("_k", key).join(
+                F.broadcast(m) if self._map_small() else m, "_k", "left"
+            ).drop("_k")
+        if drop:
+            out = out.drop(*ext_cols)
+        if preserve_order:
+            out = out.orderBy("_ord").drop("_ord")
+        return out
+
+    # ------------------------------------------------------ lifecycle / misc
+    def clear(self) -> None:
+        """Drop the edge list and every derived cache (reference
+        ``graph_classes.py:615-620``); the graph is unusable afterwards."""
+        self.unpersist()
+        self.edges = None
+        self.renumber_map = None
+        self._degrees_cache = None
+        self._num_vertices = None
+        self._num_edges = None
+        self._all_nodes = None
+
+    def delete_edge_list(self) -> None:
+        """Free the persisted edge cache (reference ``simpleGraph.py``
+        ``delete_edge_list``). Unlike ``clear`` the graph stays usable —
+        Spark recomputes the frame from lineage on next use."""
+        self.edges.unpersist()
+
+    def delete_adj_list(self) -> None:
+        """Reference parity no-op: adjacency views are never cached here
+        (``view_adj_list`` builds them on demand), so there is nothing to
+        free."""
+
+    def enable_batch(self) -> None:
+        """Reference ``simpleGraph.py:650-677`` replicates the edge list to
+        every dask worker for batched centrality. Spark DataFrames are
+        already cluster-resident and every operator is batch-capable, so
+        this is a no-op kept for call-site compatibility."""
+
+    def get_two_hop_neighbors(self, start_vertices=None) -> DataFrame:
+        """Reference ``simpleGraph.py:722-766`` — delegates to the structure
+        operator; ``start_vertices`` restricts the FIRST endpoint (external
+        ids), as in the reference's pylibcugraph call."""
+        from .operators.structure import two_hop_neighbors
+
+        out = two_hop_neighbors(self)
+        if start_vertices is not None:
+            if isinstance(start_vertices, DataFrame):
+                keep = start_vertices.select(
+                    F.col(start_vertices.columns[0]).alias("first")
+                )
+            else:
+                keep = self.spark.createDataFrame(
+                    [(v,) for v in start_vertices], ["first"]
+                )
+            out = out.join(F.broadcast(keep.distinct()), "first")
+        return out
+
+    def select_random_vertices(
+        self, random_state=None, num_vertices=None
+    ) -> DataFrame:
+        """Reference ``simpleGraph.py:767-803`` — delegates to the
+        structure operator (``random_state`` → sampling seed)."""
+        from .operators.structure import select_random_vertices
+
+        if num_vertices is None:
+            num_vertices = self.number_of_vertices()
+        return select_random_vertices(
+            self,
+            num_vertices=num_vertices,
+            **({"seed": int(random_state)} if random_state is not None else {}),
+        )
 
     def has_node(self, n) -> bool:
         if self.renumber_map is not None:
@@ -561,6 +771,33 @@ class LinkGraph:
         for r in self.edges.collect():
             a[r[SRC], r[DST]] = r[WGT]
         return a
+
+    def to_numpy_matrix(self):
+        """Alias of ``to_numpy_array`` (reference keeps both spellings)."""
+        return self.to_numpy_array()
+
+    def to_pandas_adjacency(self):
+        """Dense adjacency as a pandas DataFrame labeled with external ids
+        (reference ``simpleGraph.py`` ``to_pandas_adjacency``). Small
+        graphs only (collects)."""
+        import pandas as pd
+
+        a = self.to_numpy_array()
+        if self.renumber_map is not None:
+            m = {r[VID]: r[EXT] for r in self.renumber_map.collect()}
+            labels = [m[i] for i in range(a.shape[0])]
+        else:
+            labels = list(range(a.shape[0]))
+        return pd.DataFrame(a, index=labels, columns=labels)
+
+    @classmethod
+    def from_numpy_matrix(
+        cls, spark: SparkSession, arr, directed: bool = True, renumber: bool = True
+    ) -> "LinkGraph":
+        """Alias of ``from_numpy_array``."""
+        return cls.from_numpy_array(
+            spark, arr, directed=directed, renumber=renumber
+        )
 
     @classmethod
     def from_scipy_sparse(
