@@ -44,14 +44,30 @@ class PropertyGraph:
         self._edge_id_counter = 0
 
     # ------------------------------------------------------------- mutation
+    @staticmethod
+    def _pack_vectors(frame: DataFrame, vector_properties) -> DataFrame:
+        """Pack scalar columns into array-typed vector properties
+        (reference ``add_vertex_data(vector_properties=...)``: fixed-size
+        list columns consumed by ``*_vector_property_to_array``)."""
+        for name, cols in (vector_properties or {}).items():
+            frame = frame.withColumn(
+                name, F.array(*[F.col(c).cast("double") for c in cols])
+            ).drop(*cols)
+        return frame
+
     def add_vertex_data(
-        self, df: DataFrame, vertex_col_name: str, type_name: str = ""
+        self,
+        df: DataFrame,
+        vertex_col_name: str,
+        type_name: str = "",
+        vector_properties: dict | None = None,
     ) -> None:
         """Accumulate a typed vertex property frame
         (reference ``property_graph.py:594-860``)."""
         frame = df.withColumnRenamed(vertex_col_name, VERTEX_COL).withColumn(
             TYPE_COL, F.lit(type_name)
         )
+        frame = self._pack_vectors(frame, vector_properties)
         if type_name in self._vertex_frames:
             self._vertex_frames[type_name] = self._vertex_frames[
                 type_name
@@ -64,6 +80,7 @@ class PropertyGraph:
         df: DataFrame,
         vertex_col_names: tuple,
         type_name: str = "",
+        vector_properties: dict | None = None,
     ) -> None:
         """Accumulate a typed edge property frame
         (reference ``property_graph.py:860-1100``). Every edge row gets a
@@ -78,6 +95,7 @@ class PropertyGraph:
             .withColumnRenamed(d, DST_COL)
             .withColumn(TYPE_COL, F.lit(type_name))
         )
+        frame = self._pack_vectors(frame, vector_properties)
         frame = assign_dense_ids(
             frame, [F.col(SRC_COL), F.col(DST_COL)], EDGE_ID_COL
         )
@@ -101,6 +119,162 @@ class PropertyGraph:
     @property
     def edge_types(self) -> set:
         return set(self._edge_frames)
+
+    @property
+    def edges(self) -> DataFrame | None:
+        """DF[_EDGE_ID_, _SRC_, _DST_] — endpoints only, no properties
+        (reference ``edges`` property)."""
+        ed = self._union_all(self._edge_frames)
+        if ed is None:
+            return None
+        return ed.select(EDGE_ID_COL, SRC_COL, DST_COL)
+
+    @property
+    def vertex_property_names(self) -> list:
+        """Property column names across all vertex frames, excluding the
+        vertex id and type discriminator (reference property)."""
+        names: list[str] = []
+        for f in self._vertex_frames.values():
+            for c in f.columns:
+                if c not in (VERTEX_COL, TYPE_COL) and c not in names:
+                    names.append(c)
+        return names
+
+    @property
+    def edge_property_names(self) -> list:
+        """Property column names across all edge frames, excluding
+        endpoints, edge id, and type (reference property)."""
+        names: list[str] = []
+        for f in self._edge_frames.values():
+            for c in f.columns:
+                if (
+                    c not in (SRC_COL, DST_COL, TYPE_COL, EDGE_ID_COL)
+                    and c not in names
+                ):
+                    names.append(c)
+        return names
+
+    def get_vertices(self, selection=None) -> DataFrame:
+        """DF[vertex] — distinct vertex ids from BOTH the vertex and edge
+        property data, ascending (reference ``get_vertices``; like it,
+        ``selection`` is not yet supported)."""
+        if selection is not None:
+            raise NotImplementedError(
+                "selection is not yet supported (reference parity)"
+            )
+        parts = []
+        vd = self.get_vertex_data()
+        if vd is not None:
+            parts.append(vd.select(F.col(VERTEX_COL).alias("vertex")))
+        ed = self._union_all(self._edge_frames)
+        if ed is not None:
+            parts.append(ed.select(F.col(SRC_COL).alias("vertex")))
+            parts.append(ed.select(F.col(DST_COL).alias("vertex")))
+        if not parts:
+            return self.spark.createDataFrame([], "vertex LONG")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out.distinct().orderBy("vertex")
+
+    def vertices_ids(self) -> DataFrame:
+        """Alias for :meth:`get_vertices` (reference alias)."""
+        return self.get_vertices()
+
+    @classmethod
+    def has_duplicate_edges(cls, df: DataFrame, columns=None) -> bool:
+        """True if ``df`` has rows sharing (src, dst, type) plus ``columns``
+        (reference classmethod)."""
+        keys = [SRC_COL, DST_COL]
+        if TYPE_COL in df.columns:
+            keys.append(TYPE_COL)
+        keys += list(columns or [])
+        return (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    @classmethod
+    def is_multigraph_frame(cls, df: DataFrame) -> bool:
+        """True if ``df`` holds parallel (src, dst) edges (the reference
+        exposes this as the classmethod ``is_multigraph(df)``; renamed
+        suffix avoids clashing with the instance predicate below — the
+        bare name still dispatches on the argument)."""
+        return (
+            df.groupBy(SRC_COL, DST_COL)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def is_multigraph(self, df: DataFrame | None = None) -> bool:
+        """Reference ``is_multigraph(df)`` is a classmethod over a frame;
+        called with no argument this reports whether THIS graph's edge data
+        holds parallel edges."""
+        frame = df if df is not None else self._union_all(self._edge_frames)
+        if frame is None:
+            return False
+        return self.is_multigraph_frame(frame)
+
+    def is_multi_gpu(self) -> bool:
+        """Reference parity: ``PropertyGraph.is_multi_gpu`` is always False
+        (the MG variant is a separate class there). The property frames
+        here are nevertheless ordinary distributed Spark DataFrames."""
+        return False
+
+    def vertex_types_from_numerals(self, nums) -> list:
+        """Numeric type codes → type-name strings (reference maps through
+        the categorical dtype's categories; the analog of categories here
+        is the sorted type-name list)."""
+        cats = sorted(self._vertex_frames)
+        return [cats[int(n)] for n in nums]
+
+    def edge_types_from_numerals(self, nums) -> list:
+        cats = sorted(self._edge_frames)
+        return [cats[int(n)] for n in nums]
+
+    @staticmethod
+    def _vector_property_to_array(df: DataFrame, col_name, fillvalue, missing):
+        import numpy as np
+
+        t = df.schema[col_name].dataType
+        if not t.typeName() == "array":
+            raise TypeError(f"{col_name!r} is not a vector (array) property")
+        rows = df.select(col_name).collect()
+        vals = [r[0] for r in rows]
+        dim = next((len(v) for v in vals if v is not None), None)
+        if any(v is None for v in vals):
+            if fillvalue is not None:
+                fill = (
+                    list(fillvalue)
+                    if isinstance(fillvalue, (list, tuple))
+                    else [fillvalue] * (dim or 0)
+                )
+                vals = [fill if v is None else v for v in vals]
+            elif missing == "error":
+                raise ValueError(f"missing vector data in {col_name!r}")
+            else:
+                vals = [v for v in vals if v is not None]
+        return np.asarray(vals, dtype=float)
+
+    def vertex_vector_property_to_array(
+        self, df: DataFrame, col_name, fillvalue=None, *, missing="ignore"
+    ):
+        """Array-typed vertex property column → numpy ndarray (reference
+        ``vertex_vector_property_to_array``; driver-side by definition —
+        the reference likewise materializes a dense cupy array)."""
+        return self._vector_property_to_array(df, col_name, fillvalue, missing)
+
+    def edge_vector_property_to_array(
+        self, df: DataFrame, col_name, fillvalue=None, *, missing="ignore"
+    ):
+        return self._vector_property_to_array(df, col_name, fillvalue, missing)
 
     def _union_all(self, frames: dict[str, DataFrame], types=None) -> DataFrame | None:
         keys = sorted(frames) if types is None else [t for t in sorted(frames) if t in set(types)]
@@ -197,6 +371,52 @@ class PropertyGraph:
             weight=weight,
             directed=opts.get("directed", True),
             dedup=not allow_multi_edges,
+        )
+
+    def edge_props_to_graph(
+        self,
+        edge_prop_df: DataFrame,
+        create_using=None,
+        edge_weight_property: str | None = None,
+        default_edge_weight: float | None = None,
+        check_multi_edges: bool = True,
+        renumber_graph: bool = True,
+        add_edge_data: bool = True,
+    ) -> LinkGraph:
+        """Build a graph from an edge-prop frame (reference
+        ``edge_props_to_graph``): optional multi-edge guard, weight
+        property with NA default, directed/multigraph flags taken from
+        ``create_using``."""
+        directed, multi = True, False
+        if create_using is not None:
+            inst = (
+                create_using() if isinstance(create_using, type) else create_using
+            )
+            directed = bool(getattr(inst, "directed", True))
+            multi = bool(getattr(inst, "_multi", False)) or bool(
+                getattr(getattr(inst, "properties", None), "multi_edge", False)
+            )
+        if check_multi_edges and not multi:
+            if self.is_multigraph_frame(edge_prop_df):
+                raise RuntimeError(
+                    "query resulted in duplicate edges which cannot be "
+                    "represented with the non-multigraph create_using"
+                )
+        cols = [F.col(SRC_COL).alias("src"), F.col(DST_COL).alias("dst")]
+        weight = None
+        if edge_weight_property is not None:
+            w = F.col(edge_weight_property).cast("double")
+            if default_edge_weight is not None:
+                w = F.coalesce(w, F.lit(float(default_edge_weight)))
+            cols.append(w.alias("weight"))
+            weight = "weight"
+        return LinkGraph.from_edges(
+            edge_prop_df.select(*cols),
+            weight=weight,
+            directed=directed,
+            renumber=renumber_graph,
+            multigraph=multi,
+            dedup=not multi,
         )
 
     def annotate_dataframe(self, df: DataFrame, edge_vertex_col_names=("src", "dst")) -> DataFrame:
