@@ -223,10 +223,29 @@ class Graph:
         return getattr(g, name)
 
 
+    # pre-build-safe predicates: the reference answers these from the
+    # constructor flags without requiring an edge list
+    def is_directed(self) -> bool:
+        g = object.__getattribute__(self, "_g")
+        return g.is_directed() if g is not None else self.directed
+
+    def is_multigraph(self) -> bool:
+        g = object.__getattribute__(self, "_g")
+        return g.is_multigraph() if g is not None else self._multi
+
+
 class MultiGraph(Graph):
     """Parallel edges preserved (reference ``MultiGraph``)."""
 
     _multi = True
+
+    def is_multigraph(self) -> bool:
+        return True
+
+    def density(self):
+        """Reference ``graph_classes.py:811-823`` — undefined for
+        multigraphs (message verbatim)."""
+        raise TypeError("The density function is not support on a Multigraph.")
 
 
 def _as_link_graph(G) -> LinkGraph:

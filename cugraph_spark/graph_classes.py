@@ -109,6 +109,32 @@ class NPartiteGraph(LinkGraph):
     def is_multipartite(self) -> bool:
         return True
 
+    @classmethod
+    def from_cudf_edgelist(
+        cls,
+        input_df,
+        source: str = "source",
+        destination: str = "destination",
+        edge_attr=None,
+        renumber: bool = True,
+    ):
+        """Reference ``graph_classes.py:842-917`` — the partite classes
+        build from a distributed edge frame like Graph does."""
+        return cls.from_edges(
+            input_df,
+            src=source,
+            dst=destination,
+            weight=edge_attr,
+            directed=False,
+            renumber=renumber,
+        )
+
+    # The reference raises TypeError("Distributed N-partite graph not
+    # supported") here (graph_classes.py:918-968) because its dask layer
+    # never grew partite support; a Spark DataFrame is already distributed,
+    # so the same build just works.
+    from_dask_cudf_edgelist = from_cudf_edgelist
+
 
 class BiPartiteGraph(NPartiteGraph):
     """Bipartite graph (reference ``graph_classes.py:1011-1023``)."""

@@ -47,6 +47,49 @@ def test_every_reference_graph_method_resolves(spark, karate_df):
     assert missing == [], f"reference Graph methods missing: {missing}"
 
 
+def test_typed_class_methods_resolve(spark):
+    from cugraph_spark.graph_classes import BiPartiteGraph, NPartiteGraph, Tree
+
+    ours = {
+        "MultiGraph": cg.MultiGraph,
+        "Tree": Tree,
+        "NPartiteGraph": NPartiteGraph,
+        "BiPartiteGraph": BiPartiteGraph,
+    }
+    tree = ast.parse((REF / "graph_classes.py").read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef) and node.name in ours:
+            for n in node.body:
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    if not n.name.startswith("_"):
+                        assert hasattr(ours[node.name], n.name), (
+                            f"{node.name}.{n.name} missing"
+                        )
+
+
+def test_prebuild_predicates_and_multigraph_density(spark):
+    assert cg.Graph(directed=True).is_directed() is True
+    assert cg.Graph().is_multigraph() is False
+    M = cg.MultiGraph()
+    assert M.is_multigraph() is True  # no edge list needed (reference)
+    with pytest.raises(TypeError, match="not support on a Multigraph"):
+        M.density()
+
+
+def test_npartite_from_cudf_edgelist(spark):
+    from cugraph_spark.graph_classes import BiPartiteGraph
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, 10), (1, 11)], "source LONG, destination LONG"
+    )
+    g = BiPartiteGraph.from_cudf_edgelist(df)
+    assert g.is_bipartite() and not g.is_directed()
+    # dask spelling works too (reference raises; Spark frames are
+    # already distributed)
+    g2 = BiPartiteGraph.from_dask_cudf_edgelist(df)
+    assert g2.number_of_edges() == g.number_of_edges()
+
+
 # ------------------------------------------------------------------ degrees
 def test_degree_triple(spark, karate_df):
     G = cg.Graph()
