@@ -339,6 +339,31 @@ def _q_mst_summary(spark, sf_dir):
     )
 
 
+def _q_traversed_cost(spark, sf_dir):
+    """BFS tree from vertex 1 over the derived graph, then the
+    pointer-doubling path-cost sum with deterministic arithmetic weights
+    ((src*131 + dst*17) % 97 + 1) so the oracle reproduces them exactly."""
+    from cugraph_spark.utilities import get_traversed_cost
+
+    g = _graph(spark, sf_dir, renumber=False)
+    res = bfs(g, 1)
+    weighted = g.edges.select(
+        "src",
+        "dst",
+        ((F.col("src") * 131 + F.col("dst") * 17) % 97 + 1)
+        .cast("double")
+        .alias("weight"),
+    )
+    out = get_traversed_cost(res, 1, weighted)
+    return out.select(
+        F.col("vertex").cast("long"),
+        F.round(
+            F.when(F.col("info") > 1e300, F.lit(-1.0)).otherwise(F.col("info")),
+            6,
+        ).alias("info"),
+    )
+
+
 def _q_bicliques(spark, sf_dir):
     """Greedy biclique mining over the part→supplier bipartite relation:
     machines = parts, features = suppliers, flag = part id divisible by 7.
@@ -837,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecg": _q_ecg,
         "mst_summary": _q_mst_summary,
         "bicliques": _q_bicliques,
+        "traversed_cost": _q_traversed_cost,
         "betweenness": _q_betweenness,
         "edge_betweenness": _q_edge_betweenness,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -2215,6 +2241,47 @@ FROM verts LEFT JOIN (SELECT v, MIN(u) mn FROM mutual GROUP BY v) p ON p.v = ver
 """
 
 
+def _sql_traversed_cost() -> str:
+    """BFS-tree path costs: reconstruct the deterministic predecessor
+    (MIN(src) at the previous level — the same rule bfs() applies), then
+    walk each chain recursively, summing the min-symmetrized weights."""
+    return f"""
+WITH RECURSIVE edges AS ({_EDGES}),
+walk(v, d) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v WHERE w.d < 100
+),
+dist AS (SELECT v, MIN(d) AS d FROM walk GROUP BY v),
+pred AS (
+  SELECT e.dst AS v, MIN(e.src) AS p
+  FROM edges e
+  JOIN dist ds ON ds.v = e.src
+  JOIN dist dd ON dd.v = e.dst AND dd.d = ds.d + 1
+  GROUP BY e.dst
+),
+wsym AS (
+  SELECT s, t, MIN(w) AS w FROM (
+    SELECT src AS s, dst AS t,
+           CAST((src * 131 + dst * 17) % 97 + 1 AS DOUBLE) AS w FROM edges
+    UNION ALL
+    SELECT dst AS s, src AS t,
+           CAST((src * 131 + dst * 17) % 97 + 1 AS DOUBLE) AS w FROM edges
+  ) GROUP BY s, t
+),
+chain(v, cur, cost) AS (
+  SELECT v, v, CAST(0 AS DOUBLE) FROM dist
+  UNION ALL
+  SELECT c.v, p.p, c.cost + wt.w
+  FROM chain c
+  JOIN pred p ON p.v = c.cur
+  JOIN wsym wt ON wt.s = p.p AND wt.t = c.cur
+)
+SELECT CAST(v AS BIGINT) AS vertex, ROUND(MAX(cost), 6) AS info
+FROM chain GROUP BY v
+"""
+
+
 def _sql_bicliques() -> str:
     """Literal SQL restatement of the reference's greedy feature-major loop
     (degree-sorted scan, consecutive machine-set dedup via LAG over the
@@ -2481,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": _sql_scc(),
         "mst_summary": _sql_mst_summary(),
         "bicliques": _sql_bicliques(),
+        "traversed_cost": _sql_traversed_cost(),
         "ktruss": _sql_ktruss(),
         "louvain": _sql_louvain(),
         "leiden": _sql_leiden(),

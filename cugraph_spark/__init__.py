@@ -5,7 +5,8 @@ pandas-UDF kernels, explicit partitioning/skew handling, per-iteration
 checkpointing. Not a port — see SURVEY.md for the mapping.
 """
 
-from . import csr, exceptions, multimodal, text, vector
+from . import csr, exceptions, multimodal, text, utilities, vector
+from .utilities import get_traversed_cost, sample_groups
 from .exceptions import FailedToConvergeError
 from .graph import GraphProperties, LinkGraph, symmetrize_edges
 from .graph_classes import BiPartiteGraph, NPartiteGraph, Tree
@@ -25,6 +26,9 @@ __all__ = list(_api_all) + [
     "multimodal",
     "csr",
     "exceptions",
+    "utilities",
+    "get_traversed_cost",
+    "sample_groups",
     "FailedToConvergeError",
     "REFERENCE_EXPORTS",
 ]
