@@ -1,0 +1,7 @@
+"""Subpackage mirror of ``cugraph.sampling``."""
+from .api import (  # noqa: F401
+    node2vec,
+    random_walks,
+    rw_path,
+    uniform_neighbor_sample,
+)
