@@ -6,6 +6,7 @@ checkpointing. Not a port — see SURVEY.md for the mapping.
 """
 
 from . import csr, exceptions, multimodal, text, utilities, vector
+from . import utilities as utils  # the reference's ``cugraph.utils`` alias
 from .utilities import get_traversed_cost, sample_groups
 from .exceptions import FailedToConvergeError
 from .graph import GraphProperties, LinkGraph, symmetrize_edges
