@@ -165,10 +165,12 @@ def find_bicliques(
         )
         .select("dst", "cnt", "nsrc", "nbad", "rank", "n_feat")
     )
-    # ordinal answer ids: one row per emitted biclique (k-bounded when k>-1)
-    emit = emit.withColumn(
-        "id", F.row_number().over(Window.orderBy("rank")) - 1
-    )
+    # ordinal answer ids by scan rank — range-partitioned two-phase scan
+    # (assign_dense_ids), not a single-partition global window, so the
+    # k=-1 path scales with the emitted-biclique count
+    from ..graph import assign_dense_ids
+
+    emit = assign_dense_ids(emit, [F.col("rank").asc()], "id")
     if k > -1:
         emit = emit.filter(F.col("id") < k)
     emit = truncate_state(emit)
