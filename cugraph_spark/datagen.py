@@ -118,13 +118,17 @@ def rmat_edges(
     c: float = RMAT_C,
     seed: int = 42,
     scramble_vertex_ids: bool = True,
+    keep_id: bool = False,
 ) -> DataFrame:
     """R-MAT edges [src long, dst long]; Graph500 params by default
     (reference ``generators/rmat.py:30-134``, bench defaults
-    ``bench_algos.py:66-75``)."""
-    schema = T.StructType(
-        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
-    )
+    ``bench_algos.py:66-75``). ``keep_id=True`` also emits the generator
+    counter as an ``id`` column (a stable dense edge id — used by the
+    generators facade's ``include_edge_ids``)."""
+    fields = [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    if keep_id:
+        fields.append(T.StructField("id", T.LongType()))
+    schema = T.StructType(fields)
     n_bits = scale
     pa, pb, pc = float(a), float(b), float(c)
 
@@ -144,9 +148,10 @@ def rmat_edges(
                 mask = np.uint64((1 << n_bits) - 1)
                 src = _splitmix64(src + np.uint64(seed)) & mask
                 dst = _splitmix64(dst + np.uint64(seed)) & mask
-            yield pd.DataFrame(
-                {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
-            )
+            out = {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
+            if keep_id:
+                out["id"] = ctr
+            yield pd.DataFrame(out)
 
     base = spark.range(num_edges)
     return base.mapInPandas(_gen, schema)
