@@ -19,7 +19,7 @@ REF = Path("/root/reference/python/cugraph/cugraph")
 SUBPACKAGES = [
     "community", "centrality", "components", "cores", "link_analysis",
     "link_prediction", "traversal", "sampling", "structure", "tree",
-    "linear_assignment", "layout",
+    "linear_assignment", "layout", "generators",
 ]
 
 # names whose reference home is a namespace detail we deliberately do not
@@ -30,10 +30,13 @@ EXCLUDE: set[str] = set()
 def _exports(pkg: str) -> set[str]:
     txt = (REF / pkg / "__init__.py").read_text()
     names: set[str] = set()
-    for m in re.finditer(r"from\s+cugraph[\w.]*\s+import\s+\(([^)]*)\)", txt):
+    # absolute (from cugraph.x import ...) and relative (from .x import ...)
+    for m in re.finditer(
+        r"from\s+(?:cugraph|\.)[\w.]*\s+import\s+\(([^)]*)\)", txt
+    ):
         names.update(t.strip() for t in m.group(1).split(",") if t.strip())
     for m in re.finditer(
-        r"^from\s+cugraph[\w.]*\s+import\s+([\w, ]+?)\s*$", txt, re.M
+        r"^from\s+(?:cugraph|\.)[\w.]*\s+import\s+([\w, ]+?)\s*$", txt, re.M
     ):
         names.update(t.strip() for t in m.group(1).split(",") if t.strip())
     return names - EXCLUDE
