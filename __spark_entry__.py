@@ -801,6 +801,33 @@ def _q_dedup_cluster(spark, sf_dir):
     )
 
 
+def _q_gnn_sample(spark, sf_dir):
+    """Batched uniform neighbor sampling (gnn.py — the sampling call the
+    reference BulkSampler drives, bulk_sampler.py:262-273). Seeds = every
+    vertex ≡ 3 (mod 29), batch = vertex mod 4, fanouts [3, 2]. With
+    ``deterministic=True`` the per-(batch, source) selection ranks
+    neighbors by an affine modular permutation of the id, so the exact
+    sampled edge set is reproducible in ANSI SQL."""
+    from cugraph_spark import gnn as gnnmod
+
+    g = _graph(spark, sf_dir, directed=True, renumber=False)
+    seeds = (
+        g.vertices()
+        .filter((F.col("id") % 29) == 3)
+        .select(F.col("id").alias("start"), (F.col("id") % 4).alias("batch"))
+    )
+    out = gnnmod.uniform_neighbor_sample_batched(
+        g, seeds, [3, 2], seed=11, deterministic=True, unrenumber=False,
+        rank_modulus=K,
+    )
+    return out.select(
+        F.col("batch_id").cast("long"),
+        F.col("hop_id").cast("long"),
+        F.col("sources").cast("long"),
+        F.col("destinations").cast("long"),
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -894,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_sets": _q_bipartite_sets,
         "corpus_clean": _q_corpus_clean,
         "dedup_cluster": _q_dedup_cluster,
+        "gnn_sample": _q_gnn_sample,
     }
 
 
@@ -2081,6 +2109,38 @@ WHERE a.src != b.dst
 """
 
 
+def _sql_gnn_sample() -> str:
+    # rebuild the EXACT modular rank keys the Spark sampler uses
+    from cugraph_spark.gnn import _next_prime_above, rank_constants
+
+    p = _next_prime_above(K)
+    a0, c0 = rank_constants(0, 11, p)
+    a1, c1 = rank_constants(1, 11, p)
+    return f"""
+WITH edges AS ({_EDGES}),
+seeds AS (SELECT v AS id, CAST(v % 4 AS BIGINT) AS batch_id
+          FROM ({_VERTS}) WHERE v % 29 = 3),
+h0 AS (SELECT s.batch_id, e.src, e.dst,
+              ROW_NUMBER() OVER (PARTITION BY s.batch_id, e.src
+                                 ORDER BY ({a0}*e.dst + {c0}) % {p}, e.dst) AS rn
+       FROM edges e JOIN seeds s ON e.src = s.id),
+hop0 AS (SELECT batch_id, src, dst FROM h0 WHERE rn <= 3),
+f1 AS (SELECT DISTINCT batch_id, dst AS id FROM hop0),
+h1 AS (SELECT f.batch_id, e.src, e.dst,
+              ROW_NUMBER() OVER (PARTITION BY f.batch_id, e.src
+                                 ORDER BY ({a1}*e.dst + {c1}) % {p}, e.dst) AS rn
+       FROM edges e JOIN f1 f ON e.src = f.id),
+hop1 AS (SELECT batch_id, src, dst FROM h1 WHERE rn <= 2)
+SELECT batch_id, CAST(0 AS BIGINT) AS hop_id,
+       CAST(src AS BIGINT) AS sources, CAST(dst AS BIGINT) AS destinations
+FROM hop0
+UNION ALL
+SELECT batch_id, CAST(1 AS BIGINT) AS hop_id,
+       CAST(src AS BIGINT) AS sources, CAST(dst AS BIGINT) AS destinations
+FROM hop1
+"""
+
+
 def _sql_jaccard() -> str:
     return f"""
 WITH edges AS ({_EDGES}),
@@ -2590,4 +2650,5 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_sets": _sql_bipartite_sets(),
         "corpus_clean": _sql_corpus_clean(),
         "dedup_cluster": _sql_dedup_cluster(),
+        "gnn_sample": _sql_gnn_sample(),
     }
