@@ -256,6 +256,15 @@ def _as_link_graph(G) -> LinkGraph:
                 "from_pandas_edgelist first"
             )
         return G._g
+    if not isinstance(G, LinkGraph):
+        # reference algorithms accept NetworkX graphs directly
+        # (ensure_cugraph_obj_for_nx at the top of every entry point,
+        # utilities/utils.py:325); mirror that here so every facade
+        # function takes nx input too
+        from .utilities import convert_from_nx, is_nx_graph_type
+
+        if is_nx_graph_type(type(G)):
+            return convert_from_nx(G)._g
     return G
 
 

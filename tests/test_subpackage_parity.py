@@ -19,7 +19,7 @@ REF = Path("/root/reference/python/cugraph/cugraph")
 SUBPACKAGES = [
     "community", "centrality", "components", "cores", "link_analysis",
     "link_prediction", "traversal", "sampling", "structure", "tree",
-    "linear_assignment", "layout", "generators",
+    "linear_assignment", "layout", "generators", "utilities",
 ]
 
 # names whose reference home is a namespace detail we deliberately do not
