@@ -5,7 +5,7 @@ pandas-UDF kernels, explicit partitioning/skew handling, per-iteration
 checkpointing. Not a port — see SURVEY.md for the mapping.
 """
 
-from . import csr, exceptions, multimodal, text, utilities, vector
+from . import csr, exceptions, gnn, multimodal, store, text, utilities, vector
 from . import utilities as utils  # the reference's ``cugraph.utils`` alias
 from .utilities import get_traversed_cost, sample_groups
 from .exceptions import FailedToConvergeError
@@ -26,6 +26,8 @@ __all__ = list(_api_all) + [
     "vector",
     "multimodal",
     "csr",
+    "gnn",
+    "store",
     "exceptions",
     "utilities",
     "get_traversed_cost",
