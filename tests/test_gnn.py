@@ -224,3 +224,23 @@ def test_namespace_parity():
 
     assert hasattr(g, "FeatureStore")
     assert hasattr(exp, "BulkSampler")
+
+
+def test_bulk_sample_job_entry(spark, tmp_path):
+    """jobs/bulk_sample_job.py end-to-end on the synthetic table (the
+    spark-submit training-data export; session reused in-process)."""
+    import jobs.bulk_sample_job as job
+
+    out = str(tmp_path / "mb")
+    job.main(
+        [
+            "--synthetic", "sf0.001",
+            "--output", out,
+            "--fanout", "2,1",
+            "--batch-size", "16",
+            "--renumber",
+        ]
+    )
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert {"sources", "destinations", "hop_id", "batch_id"} <= set(res.columns)
