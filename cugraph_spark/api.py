@@ -70,7 +70,12 @@ from .operators.structure import (
     two_hop_neighbors,
     uniform_neighbor_sample,
 )
-from .operators.sampling import node2vec, random_walks, rw_path
+from .operators.sampling import (
+    biased_random_walks,
+    node2vec,
+    random_walks,
+    rw_path,
+)
 from .operators.mst import maximum_spanning_tree, minimum_spanning_tree
 from .operators.lap import dense_hungarian, hungarian
 from .operators.layout import force_atlas2
@@ -624,7 +629,7 @@ REFERENCE_EXPORTS = [
     "minimum_spanning_tree", "maximum_spanning_tree",
     "strong_connected_component", "find_bicliques", "hungarian",
     "dense_hungarian", "force_atlas2", "random_walks", "rw_path", "node2vec",
-    "uniform_neighbor_sample",
+    "biased_random_walks", "uniform_neighbor_sample",
 ]
 
 __all__ = REFERENCE_EXPORTS + [

@@ -14,7 +14,7 @@ from .ktruss import k_truss
 from .leiden import leiden
 from .louvain import louvain
 from .lpa import label_propagation
-from .sampling import node2vec, random_walks
+from .sampling import biased_random_walks, node2vec, random_walks
 from .scc import strongly_connected_components
 from .spectral import (
     analyze_clustering_edge_cut,
@@ -84,6 +84,7 @@ __all__ = [
     "louvain",
     "ecg",
     "random_walks",
+    "biased_random_walks",
     "node2vec",
     "strongly_connected_components",
     "betweenness_centrality",

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..graph import DST, SRC, VID, LinkGraph, assign_dense_ids, truncate_state
+from ..graph import DST, SRC, VID, WGT, LinkGraph, assign_dense_ids, truncate_state
 
 
 def _starts(graph: LinkGraph, start_vertices: DataFrame) -> DataFrame:
@@ -53,9 +53,34 @@ def random_walks(
     max_depth: int,
     seed: int = 42,
     unrenumber: bool = True,
+    random_walks_type: str = "uniform",
+    p: float = 1.0,
+    q: float = 1.0,
 ) -> DataFrame:
-    """DF[walk_id, step, vertex] — uniform random walks of ≤ max_depth
-    vertices per walk (stops early at sinks)."""
+    """DF[walk_id, step, vertex] — random walks of ≤ max_depth vertices per
+    walk (stops early at sinks).
+
+    ``random_walks_type`` mirrors the reference dispatch
+    (``sampling/random_walks.py:49-56`` takes ``random_walks_type``
+    ∈ {'uniform', 'biased', 'node2vec'}): 'uniform' draws the next hop
+    uniformly over out-neighbors; 'biased' draws proportional to edge
+    weight (requires a weighted graph); 'node2vec' delegates to
+    :func:`node2vec` with the given ``p``/``q``.
+    """
+    if random_walks_type == "node2vec":
+        return node2vec(
+            graph, start_vertices, max_depth, p=p, q=q, seed=seed,
+            unrenumber=unrenumber,
+        )
+    if random_walks_type == "biased":
+        return biased_random_walks(
+            graph, start_vertices, max_depth, seed=seed, unrenumber=unrenumber
+        )
+    if random_walks_type != "uniform":
+        raise ValueError(
+            f"random_walks_type must be 'uniform', 'biased', or 'node2vec'; "
+            f"got {random_walks_type!r}"
+        )
     starts = _starts(graph, start_vertices)
     frontier = starts.select("walk_id", F.col("v").alias("cur"))
     paths = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]
@@ -80,6 +105,60 @@ def random_walks(
     out = paths[0]
     for p in paths[1:]:
         out = out.union(p)
+    if unrenumber:
+        out = graph.unrenumber(out, "vertex")
+    return out
+
+
+def biased_random_walks(
+    graph: LinkGraph,
+    start_vertices: DataFrame,
+    max_depth: int,
+    seed: int = 42,
+    unrenumber: bool = True,
+) -> DataFrame:
+    """DF[walk_id, step, vertex] — first-order walks where the next hop is
+    drawn with probability proportional to edge weight
+    (``random_walks_type='biased'``, reference
+    ``sampling/random_walks.py:75-78``; requires a weighted graph, as the
+    reference's PLC call does).
+
+    Same superstep plan as the uniform walk — one edge join + one per-walk
+    argmin per step — with the selection key the weighted exponential race
+    ``-log(u)/w`` (argmin is a draw ∝ w; the same trick node2vec below and
+    the SURVEY §2.1 random-select prim use), so the biased draw costs no
+    extra shuffle over uniform.
+    """
+    if not graph.properties.weighted:
+        # the internal frame always carries an implicit weight-1.0 column
+        # (graph.py:332-334), under which "biased" degenerates to uniform —
+        # reject like the reference's PLC biased sampler does
+        raise ValueError("biased random walks require a weighted graph")
+    starts = _starts(graph, start_vertices)
+    frontier = starts.select("walk_id", F.col("v").alias("cur"))
+    paths = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]
+
+    edges = graph.edges.select(SRC, DST, WGT)
+    for step in range(1, max_depth):
+        cand = edges.join(
+            frontier.withColumnRenamed("cur", SRC), SRC
+        ).select("walk_id", F.col(DST).alias("nxt"), F.col(WGT).alias("_w"))
+        key = -F.log(F.rand(seed + step)) / F.col("_w")
+        w = Window.partitionBy("walk_id").orderBy(key.asc(), F.col("nxt"))
+        frontier = truncate_state(
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("walk_id", F.col("nxt").alias("cur"))
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        paths.append(
+            frontier.select("walk_id", F.lit(step).alias("step"), F.col("cur").alias("vertex"))
+        )
+
+    out = paths[0]
+    for pth in paths[1:]:
+        out = out.union(pth)
     if unrenumber:
         out = graph.unrenumber(out, "vertex")
     return out

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from conftest import karate_edges
 from cugraph_spark.graph import LinkGraph
 from cugraph_spark.operators import (
+    biased_random_walks,
     k_truss,
     node2vec,
     random_walks,
@@ -86,6 +87,31 @@ def test_random_walks(spark, karate_graph):
         assert path[0] in (0, 33)
         for s in range(1, len(path)):
             assert (path[s - 1], path[s]) in edges
+
+
+def test_biased_random_walks(spark):
+    # star with one overwhelmingly heavy edge: a draw ∝ weight must take it
+    rows = [(0, 1, 1e6)] + [(0, d, 1e-3) for d in range(2, 6)]
+    rows += [(d, 0, 1.0) for d in range(1, 6)]  # no sinks
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    g = LinkGraph.from_edges(df, directed=True, renumber=True, weight="weight")
+    starts = spark.createDataFrame([(0,)] * 1, "v LONG")
+    for seed in range(8):
+        out = biased_random_walks(g, starts, max_depth=2, seed=seed).collect()
+        step1 = [r.vertex for r in out if r.step == 1]
+        assert step1 == [1]
+    # the facade dispatch reaches the same path
+    out = random_walks(
+        g, starts, max_depth=2, random_walks_type="biased", seed=3
+    ).collect()
+    assert [r.vertex for r in out if r.step == 1] == [1]
+    g.unpersist()
+
+
+def test_biased_random_walks_requires_weights(spark, karate_graph):
+    starts = spark.createDataFrame([(0,)], "v LONG")
+    with pytest.raises(ValueError, match="weighted"):
+        biased_random_walks(karate_graph, starts, max_depth=2)
 
 
 def test_node2vec(spark, karate_graph):
