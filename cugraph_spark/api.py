@@ -629,7 +629,7 @@ REFERENCE_EXPORTS = [
     "minimum_spanning_tree", "maximum_spanning_tree",
     "strong_connected_component", "find_bicliques", "hungarian",
     "dense_hungarian", "force_atlas2", "random_walks", "rw_path", "node2vec",
-    "biased_random_walks", "uniform_neighbor_sample",
+    "uniform_neighbor_sample",
 ]
 
 __all__ = REFERENCE_EXPORTS + [
@@ -640,4 +640,8 @@ __all__ = REFERENCE_EXPORTS + [
     "spectral_modularity_maximization_clustering",
     "analyze_clustering_modularity", "analyze_clustering_edge_cut",
     "analyze_clustering_ratio_cut",
+    # biased first-order walks: reference reaches these via
+    # random_walks(random_walks_type='biased'), which our random_walks also
+    # dispatches; the direct callable is an engine extra, not a reference name
+    "biased_random_walks",
 ]
