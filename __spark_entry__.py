@@ -828,6 +828,30 @@ def _q_gnn_sample(spark, sf_dir):
     )
 
 
+def _q_walk_paths(spark, sf_dir):
+    """Deterministic random walks (operators/sampling.py `random_walks`
+    with `deterministic=True`): starts = every vertex ≡ 1 (mod 37),
+    max_depth 4. Each step's next hop is the argmin of the per-step
+    affine modular permutation of the neighbor id (gnn.py
+    `rank_constants`), so the full path set is a pure function of
+    (edges, starts, seed) — reproducible in ANSI SQL. Walks stop early
+    at sink vertices (no out-edges), exactly as the reference's
+    variable path_sizes do."""
+    from cugraph_spark.operators import random_walks as _rw
+
+    g = _graph(spark, sf_dir, directed=True, renumber=False)
+    starts = g.vertices().filter((F.col("id") % 37) == 1).select("id")
+    out = _rw(
+        g, starts, max_depth=4, seed=7, unrenumber=False,
+        deterministic=True, rank_modulus=K,
+    )
+    return out.select(
+        F.col("walk_id").cast("long"),
+        F.col("step").cast("long"),
+        F.col("vertex").cast("long"),
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -922,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "dedup_cluster": _q_dedup_cluster,
         "gnn_sample": _q_gnn_sample,
+        "walk_paths": _q_walk_paths,
     }
 
 
@@ -2141,6 +2166,40 @@ FROM hop1
 """
 
 
+def _sql_walk_paths() -> str:
+    # rebuild the per-step modular rank keys of the deterministic walk
+    from cugraph_spark.gnn import _next_prime_above, rank_constants
+
+    p = _next_prime_above(K)
+    ks = {s: rank_constants(s, 7, p) for s in (1, 2, 3)}
+
+    def hop(s: int, prev: str) -> str:
+        a, c = ks[s]
+        return f"""
+s{s} AS (SELECT w.walk_id, e.dst,
+               ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                                  ORDER BY ({a}*e.dst + {c}) % {p}, e.dst) AS rn
+        FROM {prev} w JOIN edges e ON e.src = w.v),
+w{s} AS (SELECT walk_id, dst AS v FROM s{s} WHERE rn = 1)"""
+
+    return f"""
+WITH edges AS ({_EDGES}),
+starts AS (SELECT v FROM ({_VERTS}) WHERE v % 37 = 1),
+w0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS walk_id, v
+       FROM starts),
+{hop(1, 'w0')},
+{hop(2, 'w1')},
+{hop(3, 'w2')}
+SELECT walk_id, CAST(0 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w0
+UNION ALL
+SELECT walk_id, CAST(1 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w1
+UNION ALL
+SELECT walk_id, CAST(2 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w2
+UNION ALL
+SELECT walk_id, CAST(3 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w3
+"""
+
+
 def _sql_jaccard() -> str:
     return f"""
 WITH edges AS ({_EDGES}),
@@ -2651,4 +2710,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _sql_corpus_clean(),
         "dedup_cluster": _sql_dedup_cluster(),
         "gnn_sample": _sql_gnn_sample(),
+        "walk_paths": _sql_walk_paths(),
     }

@@ -56,6 +56,8 @@ def random_walks(
     random_walks_type: str = "uniform",
     p: float = 1.0,
     q: float = 1.0,
+    deterministic: bool = False,
+    rank_modulus: int | None = None,
 ) -> DataFrame:
     """DF[walk_id, step, vertex] — random walks of ≤ max_depth vertices per
     walk (stops early at sinks).
@@ -66,6 +68,15 @@ def random_walks(
     uniformly over out-neighbors; 'biased' draws proportional to edge
     weight (requires a weighted graph); 'node2vec' delegates to
     :func:`node2vec` with the given ``p``/``q``.
+
+    ``deterministic=True`` (uniform only) replaces the seeded ``rand()``
+    selection with the per-step affine modular permutation of the neighbor
+    id that batched GNN sampling uses (gnn.py ``rank_constants``): the
+    walk becomes a pure function of ``(edges, starts, max_depth, seed)``,
+    independent of partitioning and exactly reproducible in ANSI SQL —
+    the property the driver oracle needs. ``rank_modulus`` optionally
+    fixes the permutation modulus to a known id-space bound, skipping the
+    max-id sizing job.
     """
     if random_walks_type == "node2vec":
         return node2vec(
@@ -81,6 +92,19 @@ def random_walks(
             f"random_walks_type must be 'uniform', 'biased', or 'node2vec'; "
             f"got {random_walks_type!r}"
         )
+    mod_p = None
+    if deterministic:
+        from ..gnn import _rank_expr  # lazy: avoids a package import cycle
+        from .ecg import _next_prime_above
+
+        if rank_modulus is not None:
+            mod_p = _next_prime_above(int(rank_modulus))
+        else:
+            row = graph.edges.agg(
+                F.greatest(F.max(SRC), F.max(DST)).alias("m")
+            ).collect()[0]
+            mod_p = _next_prime_above(int(row[0]) + 1)
+
     starts = _starts(graph, start_vertices)
     frontier = starts.select("walk_id", F.col("v").alias("cur"))
     paths = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]
@@ -90,7 +114,12 @@ def random_walks(
         cand = edges.join(
             frontier.withColumnRenamed("cur", SRC), SRC
         ).select("walk_id", F.col(DST).alias("nxt"))
-        w = Window.partitionBy("walk_id").orderBy(F.rand(seed + step), "nxt")
+        key = (
+            _rank_expr(F.col("nxt"), step, seed, mod_p)
+            if deterministic
+            else F.rand(seed + step)
+        )
+        w = Window.partitionBy("walk_id").orderBy(key, "nxt")
         frontier = truncate_state(
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

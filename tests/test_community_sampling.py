@@ -108,6 +108,36 @@ def test_biased_random_walks(spark):
     g.unpersist()
 
 
+def test_deterministic_random_walks(spark, karate_graph):
+    starts = spark.createDataFrame([(0,), (5,), (33,)], "v LONG")
+    runs = [
+        sorted(
+            (r.walk_id, r.step, r.vertex)
+            for r in random_walks(
+                karate_graph, starts, max_depth=4, seed=9,
+                deterministic=True, rank_modulus=40,
+            ).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]  # pure function of (edges, starts, seed)
+    edges = {(r.src, r.dst) for r in karate_graph.view_edge_list().collect()}
+    walks = {}
+    for wid, step, v in runs[0]:
+        walks.setdefault(wid, {})[step] = v
+    for path in walks.values():
+        for s in range(1, len(path)):
+            assert (path[s - 1], path[s]) in edges
+    other = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in random_walks(
+            karate_graph, starts, max_depth=4, seed=10,
+            deterministic=True, rank_modulus=40,
+        ).collect()
+    )
+    assert other != runs[0]  # seed actually rotates the permutation
+
+
 def test_biased_random_walks_requires_weights(spark, karate_graph):
     starts = spark.createDataFrame([(0,)], "v LONG")
     with pytest.raises(ValueError, match="weighted"):
