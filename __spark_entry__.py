@@ -852,6 +852,57 @@ def _q_walk_paths(spark, sf_dir):
     )
 
 
+def _q_hypergraph_edges(spark, sf_dir):
+    """Hypergraph builder (property_graph.py `hypergraph`, reference
+    ``structure/hypergraph.py:42-288``): rows of a plain table become
+    row-nodes, each connected to one value-node per (column, value).
+    Row ids are the deterministic content-order rank from
+    ``assign_dense_ids`` (range-partitioned prefix sums), so the string
+    edge list is exactly reproducible in SQL. Input: events rows with
+    event_id ≡ 5 (mod 101), columns (user_id, event_type); NULL-bearing
+    rows excluded up front so both engines rank the identical row set."""
+    from cugraph_spark.property_graph import hypergraph as _hg
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(
+            ((F.col("event_id") % 101) == 5)
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("user_id", "event_type")
+    )
+    out = _hg(df, columns=["user_id", "event_type"])
+    return out["edges"].select("src", "dst")
+
+
+def _q_pg_subgraph(spark, sf_dir):
+    """PropertyGraph select→extract pipeline (property_graph.py, reference
+    ``structure/property_graph.py:1494-1740``): customer rows as typed
+    vertex data, orders rows as typed 'placed' edges
+    (o_custkey → o_orderkey) carrying o_totalprice; ``select_edges`` with
+    a SQL predicate then ``extract_subgraph`` builds a directed LinkGraph,
+    whose external-id edge list must equal the bare SQL filter."""
+    from cugraph_spark.property_graph import PropertyGraph as PG
+
+    pg = PG(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    pg.add_vertex_data(cust, vertex_col_name="c_custkey", type_name="customer")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    pg.add_edge_data(
+        orders, vertex_col_names=("o_custkey", "o_orderkey"), type_name="placed"
+    )
+    sel = pg.select_edges("o_totalprice > 150000 AND _TYPE_ = 'placed'")
+    g = pg.extract_subgraph(selection=sel, create_using={"directed": True})
+    return g.view_edge_list().select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
 def _q_stream_user_totals_multi(spark, sf_dir):
     """Multi-batch streaming driver query: the events table is staged as 3
     chronological file drops and replayed with ``maxFilesPerTrigger=1`` —
@@ -947,6 +998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": _q_dedup_cluster,
         "gnn_sample": _q_gnn_sample,
         "walk_paths": _q_walk_paths,
+        "hypergraph_edges": _q_hypergraph_edges,
+        "pg_subgraph": _q_pg_subgraph,
     }
 
 
@@ -2200,6 +2253,35 @@ SELECT walk_id, CAST(3 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w3
 """
 
 
+def _sql_hypergraph_edges() -> str:
+    return """
+WITH rows_sel AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_id % 101 = 5 AND user_id IS NOT NULL AND event_type IS NOT NULL
+),
+rid AS (
+  SELECT user_id, event_type,
+         CAST(ROW_NUMBER() OVER (ORDER BY user_id, event_type) - 1 AS BIGINT) AS rn
+  FROM rows_sel
+)
+SELECT 'row::' || CAST(rn AS VARCHAR) AS src,
+       'user_id::' || CAST(user_id AS VARCHAR) AS dst
+FROM rid
+UNION ALL
+SELECT 'row::' || CAST(rn AS VARCHAR) AS src,
+       'event_type::' || event_type AS dst
+FROM rid
+"""
+
+
+def _sql_pg_subgraph() -> str:
+    return """
+SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+                CAST(o_orderkey AS BIGINT) AS dst
+FROM orders WHERE o_totalprice > 150000
+"""
+
+
 def _sql_jaccard() -> str:
     return f"""
 WITH edges AS ({_EDGES}),
@@ -2711,4 +2793,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": _sql_dedup_cluster(),
         "gnn_sample": _sql_gnn_sample(),
         "walk_paths": _sql_walk_paths(),
+        "hypergraph_edges": _sql_hypergraph_edges(),
+        "pg_subgraph": _sql_pg_subgraph(),
     }
