@@ -852,6 +852,42 @@ def _q_walk_paths(spark, sf_dir):
     )
 
 
+def _q_und_edges(spark, sf_dir):
+    """to_undirected conversion (graph.py, reference
+    ``graph_classes.py`` Graph.to_undirected): rebuild the directed
+    derived graph as undirected (symmetrize + dedup) and return its
+    external-id edge list — must equal the relational union of both edge
+    directions."""
+    g = _graph(spark, sf_dir, directed=True, renumber=False).to_undirected()
+    return g.view_edge_list().select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def _q_reachable(spark, sf_dir):
+    """filter_unreachable (operators/traversal.py, reference
+    ``sssp.py:264-291``): left-join the SSSP result onto the full vertex
+    set with an Infinity sentinel for unreached vertices, then strip the
+    sentinels — the surviving rows must equal the plain recursive-walk
+    distances."""
+    from cugraph_spark.operators import filter_unreachable as _fu
+
+    g = _graph(spark, sf_dir, renumber=False)
+    d = sssp(g, 1)
+    full = (
+        g.vertices()
+        .select(F.col("id").alias("vertex"))
+        .join(d, "vertex", "left")
+        .withColumn(
+            "distance",
+            F.coalesce(F.col("distance"), F.lit(float("inf"))),
+        )
+    )
+    return _fu(full).select(
+        F.col("vertex").cast("long"), F.col("distance").cast("double")
+    )
+
+
 def _q_hypergraph_edges(spark, sf_dir):
     """Hypergraph builder (property_graph.py `hypergraph`, reference
     ``structure/hypergraph.py:42-288``): rows of a plain table become
@@ -1000,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_paths": _q_walk_paths,
         "hypergraph_edges": _q_hypergraph_edges,
         "pg_subgraph": _q_pg_subgraph,
+        "und_edges": _q_und_edges,
+        "reachable": _q_reachable,
     }
 
 
@@ -2253,6 +2291,13 @@ SELECT walk_id, CAST(3 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w3
 """
 
 
+def _sql_und_edges() -> str:
+    return f"""
+WITH edges AS ({_EDGES})
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({_SYM})
+"""
+
+
 def _sql_hypergraph_edges() -> str:
     return """
 WITH rows_sel AS (
@@ -2795,4 +2840,6 @@ def oracle_sql() -> dict[str, str]:
         "walk_paths": _sql_walk_paths(),
         "hypergraph_edges": _sql_hypergraph_edges(),
         "pg_subgraph": _sql_pg_subgraph(),
+        "und_edges": _sql_und_edges(),
+        "reachable": _sql_sssp(),
     }
