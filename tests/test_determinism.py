@@ -35,3 +35,30 @@ def test_edge_count_matches_input_distinct(spark):
         g = LinkGraph.from_edges(df, directed=True, num_partitions=n_part)
         assert g.number_of_edges() == want, n_part
         g.unpersist()
+
+
+def test_deterministic_walks_identical_across_partition_counts(spark):
+    """deterministic=True walks are a pure function of (edges, starts,
+    seed) — the modular-permutation hop selection must not depend on how
+    the edge frame is partitioned (the property the walk_paths driver
+    oracle relies on)."""
+    from cugraph_spark.operators import random_walks
+
+    rows = seeded_graph(200, 1200, seed=11)
+    df = spark.createDataFrame(rows, "src LONG, dst LONG")
+    starts = spark.createDataFrame([(v,) for v in range(0, 200, 23)], "v LONG")
+    results = {}
+    for n_part in (2, 7, 16):
+        g = LinkGraph.from_edges(
+            df, directed=True, renumber=False, num_partitions=n_part
+        )
+        out = random_walks(
+            g, starts, max_depth=4, seed=13,
+            deterministic=True, rank_modulus=200,
+        )
+        results[n_part] = sorted(
+            (r.walk_id, r.step, r.vertex) for r in out.collect()
+        )
+        g.unpersist()
+    assert results[2] == results[7] == results[16]
+    assert len(results[2]) > len(starts.collect())  # walks actually extended
