@@ -37,10 +37,39 @@ from cugraph_spark.session import get_spark
 BENCH_K = 50_000
 
 
+def _capacity_probe(cpus: int) -> dict:
+    """~6 s pure-CPU host-capacity probe (scaling_bench.probe_capacity):
+    the per-process slowdown of a fixed spin at `cpus` concurrent pinned
+    processes vs 1. On this sandbox the vCPUs are intermittently backed by
+    ~70% capacity and EVERY suite number inflates by exactly the probe's
+    ratio (measured 1.44x probe ↔ 66.5 s suite vs 43–47 s full-capacity),
+    so the probe result is recorded alongside the timings to separate
+    host starvation from software regressions."""
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        import statistics as st
+
+        from scaling_bench import probe_capacity
+
+        m1 = st.median(probe_capacity(1))
+        mn = st.median(probe_capacity(cpus))
+        return {
+            "spin_1proc_sec": round(m1, 3),
+            "spin_nproc_sec": round(mn, 3),
+            "nproc": cpus,
+            "slowdown": round(mn / m1, 3),
+        }
+    except Exception as e:  # never let the probe break the bench line
+        return {"error": str(e)[:120]}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    probe = _capacity_probe(cpus)  # before the JVM exists: nothing to contend
 
     spark = get_spark(
         "cugraph_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
@@ -171,6 +200,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "graph": {"vertices": n_verts, "edges": n_edges, "k": BENCH_K},
+        "host_capacity_probe": probe,
         **extras,
     }
     print(json.dumps(out))
