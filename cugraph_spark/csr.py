@@ -24,6 +24,13 @@ sums by dst either way — Spark's hash aggregate already does the
 map-side combine the CSR kernel does with bincount).  The structure
 itself, though, is reusable wherever a per-partition imperative kernel
 genuinely wins (merge-intersection, sampling with replacement).
+
+Scale nuance (measured round 4, BENCH.md "DataFrame vs CSR … scale
+21"): the Arrow-boundary cost is a per-superstep CONSTANT, so the
+ratio shrinks with graph size — 3.3× slower at 600k edges but parity
+within ambient noise at 33M edges (per-round interleaved ratios
+0.82–1.56).  The DataFrame path stays the default; nothing about this
+path degrades at 100 TB beyond that constant.
 """
 
 from __future__ import annotations
