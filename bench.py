@@ -54,12 +54,27 @@ def _capacity_probe(cpus: int) -> dict:
         from scaling_bench import probe_capacity
 
         m1 = st.median(probe_capacity(1))
+
+        def _stat():  # aggregate cpu line: user nice sys idle iowait irq sirq steal
+            with open("/proc/stat") as f:
+                return list(map(int, f.readline().split()[1:9]))
+
+        s0 = _stat()
         mn = st.median(probe_capacity(cpus))
+        s1 = _stat()
+        d = [b - a for a, b in zip(s0, s1)]
+        tot = sum(d) or 1
+        # steal% DURING the full-width spin is the unambiguous starvation
+        # signal: the 1-vs-N slowdown ratio has a measured ~1.3 floor on
+        # this host even when steal is ~2% (the 1-proc leg turbo-boosts /
+        # schedules better), so slowdown alone over-reports starvation.
         return {
             "spin_1proc_sec": round(m1, 3),
             "spin_nproc_sec": round(mn, 3),
             "nproc": cpus,
             "slowdown": round(mn / m1, 3),
+            "steal_pct_under_full_spin": round(100 * d[7] / tot, 2),
+            "idle_pct_under_full_spin": round(100 * d[3] / tot, 2),
         }
     except Exception as e:  # never let the probe break the bench line
         return {"error": str(e)[:120]}
