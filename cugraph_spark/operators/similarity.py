@@ -12,15 +12,85 @@ Spark plan: neighbor sets over the undirected view; pair candidates get
 |N(a)∩N(b)| by joining the edge table with itself on the shared endpoint
 and counting wedges per (a, b) — a pure join+groupBy plan that never
 materializes adjacency arrays (no collect_list skew risk at web scale);
-degrees are a broadcast-sized [v, deg] table joined twice.
+degrees are a broadcast-sized [v, deg] table joined twice.  Two web-scale
+guards: a user-supplied ``vertex_pair`` prunes both wedge legs with
+semi-joins BEFORE the self-join (cost ∝ degree sum of queried vertices,
+not corpus wedges), and hub wedge centers are salted across
+``(w, bucket)`` join keys so no single task receives a hub's d² rows
+(``WEDGE_HOT_DEGREE``).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, VID, LinkGraph, truncate_state
+
+# --- skew guard for the all-pairs wedge join --------------------------------
+# A wedge center w of degree d contributes d² rows through the single shuffle
+# key w — a web-scale hub at d = 10⁶ would route 10¹² rows into ONE task.
+# Centers with degree > WEDGE_HOT_DEGREE are salted: their e2 rows are
+# bucketed by hash(second) into k = ceil(deg / WEDGE_HOT_DEGREE) buckets
+# (capped at WEDGE_SALT_CAP) and their e1 rows replicated across the k
+# buckets, so the join key becomes (w, bucket) and per-task join work is
+# bounded by ~d·WEDGE_HOT_DEGREE rows.  Replication overhead is d·k ≈
+# d²/WEDGE_HOT_DEGREE shuffled rows — a 1/WEDGE_HOT_DEGREE fraction of the
+# join output itself, i.e. negligible.  The quadratic OUTPUT is inherent to
+# all-pairs wedge semantics (the reference's default pair set IS the two-hop
+# pairs, ``jaccard.py:23-209``); salting fixes the per-task skew, not the
+# output size — callers with a hub-heavy graph should pass ``vertex_pair``,
+# which now prunes the wedge legs BEFORE the join (see ``_pair_stats``).
+WEDGE_HOT_DEGREE = int(os.environ.get("SPARK_GRAFT_WEDGE_HOT_DEGREE", "8192"))
+WEDGE_SALT_CAP = 1024
+
+
+def _wedge_join(e1: DataFrame, e2: DataFrame, center_deg: DataFrame, agg) -> DataFrame:
+    """``groupBy(first, second).agg(agg)`` over the wedge join ``e1 ⋈_w e2``
+    with per-center salting for hot shuffle keys.
+
+    ``e1`` carries [first, w, ...], ``e2`` [second, w, ...]; ``center_deg``
+    is [v, deg] for the wedge centers (broadcast-filtered to the hot tail,
+    which is tiny by definition: at most 2|E|/WEDGE_HOT_DEGREE rows)."""
+    hot = center_deg.filter(F.col("deg") > WEDGE_HOT_DEGREE).select(
+        F.col("v").alias("w"),
+        F.least(
+            F.ceil(F.col("deg") / F.lit(WEDGE_HOT_DEGREE)), F.lit(WEDGE_SALT_CAP)
+        )
+        .cast("int")
+        .alias("_k"),
+    )
+    e1s = (
+        e1.join(F.broadcast(hot), "w", "left")
+        .withColumn("_k", F.coalesce("_k", F.lit(1)))
+        .withColumn("_b", F.explode(F.sequence(F.lit(0), F.col("_k") - 1)))
+        .drop("_k")
+    )
+    e2s = (
+        e2.join(F.broadcast(hot), "w", "left")
+        .withColumn("_b", F.pmod(F.hash("second"), F.coalesce("_k", F.lit(1))).cast("int"))
+        .drop("_k")
+    )
+    return (
+        e1s.join(e2s, ["w", "_b"])
+        .filter(F.col("first") < F.col("second"))
+        .groupBy("first", "second")
+        .agg(agg)
+    )
+
+
+def _normalized_pairs(graph: LinkGraph, vertex_pair: DataFrame) -> DataFrame:
+    """Renumbered, (first < second)-canonicalized, deduped pair frame,
+    materialized (it feeds two semi-joins plus the final left join)."""
+    pairs = _renumber_pairs(graph, vertex_pair)
+    return truncate_state(
+        pairs.select(
+            F.least("first", "second").alias("first"),
+            F.greatest("first", "second").alias("second"),
+        ).distinct()
+    )
 
 
 def _safe_div(num, den):
@@ -72,18 +142,18 @@ def _pair_stats(graph: LinkGraph, vertex_pair: DataFrame | None) -> DataFrame:
 
     e1 = und.select(F.col(SRC).alias("first"), F.col(DST).alias("w"))
     e2 = und.select(F.col(SRC).alias("second"), F.col(DST).alias("w"))
-    wedges = (
-        e1.join(e2, "w")
-        .filter(F.col("first") < F.col("second"))
-        .groupBy("first", "second")
-        .agg(F.count("*").alias("isect"))
-    )
+    pairs = None
     if vertex_pair is not None:
-        pairs = _renumber_pairs(graph, vertex_pair)
-        pairs = pairs.select(
-            F.least("first", "second").alias("first"),
-            F.greatest("first", "second").alias("second"),
-        ).distinct()
+        # pair pushdown: restrict each wedge leg to the queried endpoints
+        # BEFORE the join on w — the wedge cost becomes proportional to the
+        # degree sum of the QUERIED vertices, not to Σ_w deg(w)² over the
+        # whole corpus (the reference restricts in the kernel the same way:
+        # similarity_impl.cuh iterates only the requested pairs)
+        pairs = _normalized_pairs(graph, vertex_pair)
+        e1 = e1.join(pairs.select("first").distinct(), "first", "left_semi")
+        e2 = e2.join(pairs.select("second").distinct(), "second", "left_semi")
+    wedges = _wedge_join(e1, e2, deg, F.count("*").alias("isect"))
+    if pairs is not None:
         wedges = pairs.join(wedges, ["first", "second"], "left").fillna(0, ["isect"])
 
     # left joins + fillna(0): a pair whose endpoint has no neighbors must
@@ -102,6 +172,8 @@ def _pair_stats(graph: LinkGraph, vertex_pair: DataFrame | None) -> DataFrame:
         .fillna(0, ["deg_first", "deg_second"])
     )
     und.unpersist()
+    if pairs is not None:
+        pairs.unpersist()
     return out
 
 
@@ -148,21 +220,18 @@ def _weighted_pair_stats(
         .fillna(0.0, ["_w"])
     )
     vol = nbrw.groupBy(F.col(SRC).alias("v")).agg(F.sum("_w").alias("vol"))
+    cdeg = und.groupBy(F.col(DST).alias("v")).agg(F.count("*").alias("deg"))
 
     e1 = nbrw.select(F.col(SRC).alias("first"), F.col(DST).alias("w"), "_w")
     e2 = nbrw.select(F.col(SRC).alias("second"), F.col(DST).alias("w"))
-    wedges = (
-        e1.join(e2, "w")
-        .filter(F.col("first") < F.col("second"))
-        .groupBy("first", "second")
-        .agg(F.sum("_w").alias("isect_w"))
-    )
+    pairs = None
     if vertex_pair is not None:
-        pairs = _renumber_pairs(graph, vertex_pair)
-        pairs = pairs.select(
-            F.least("first", "second").alias("first"),
-            F.greatest("first", "second").alias("second"),
-        ).distinct()
+        # same pair pushdown as the unweighted path (see _pair_stats)
+        pairs = _normalized_pairs(graph, vertex_pair)
+        e1 = e1.join(pairs.select("first").distinct(), "first", "left_semi")
+        e2 = e2.join(pairs.select("second").distinct(), "second", "left_semi")
+    wedges = _wedge_join(e1, e2, cdeg, F.sum("_w").alias("isect_w"))
+    if pairs is not None:
         wedges = pairs.join(wedges, ["first", "second"], "left").fillna(
             0.0, ["isect_w"]
         )
@@ -180,6 +249,8 @@ def _weighted_pair_stats(
         .fillna(0.0, ["vol_first", "vol_second"])
     )
     und.unpersist()
+    if pairs is not None:
+        pairs.unpersist()
     return out
 
 
