@@ -78,6 +78,11 @@ K = 1000  # vertex-space modulus for the derived edge table
 P = tx.P
 B = tx.B
 PR_ITERS = 10
+# walk_paths contract shared by _q_walk_paths and _sql_walk_paths (ADVICE r4:
+# the Spark query and its SQL oracle must agree on these or the hash gate
+# fails after a one-sided edit — keep them in one place)
+WALK_SEED = 7
+WALK_DEPTH = 4
 LPA_ITERS = 5
 
 
@@ -842,7 +847,7 @@ def _q_walk_paths(spark, sf_dir):
     g = _graph(spark, sf_dir, directed=True, renumber=False)
     starts = g.vertices().filter((F.col("id") % 37) == 1).select("id")
     out = _rw(
-        g, starts, max_depth=4, seed=7, unrenumber=False,
+        g, starts, max_depth=WALK_DEPTH, seed=WALK_SEED, unrenumber=False,
         deterministic=True, rank_modulus=K,
     )
     return out.select(
@@ -2258,11 +2263,14 @@ FROM hop1
 
 
 def _sql_walk_paths() -> str:
-    # rebuild the per-step modular rank keys of the deterministic walk
+    # rebuild the per-step modular rank keys of the deterministic walk —
+    # the unroll length and rank seeds derive from the SAME WALK_SEED /
+    # WALK_DEPTH constants _q_walk_paths passes to random_walks
     from cugraph_spark.gnn import _next_prime_above, rank_constants
 
     p = _next_prime_above(K)
-    ks = {s: rank_constants(s, 7, p) for s in (1, 2, 3)}
+    steps = list(range(1, WALK_DEPTH))
+    ks = {s: rank_constants(s, WALK_SEED, p) for s in steps}
 
     def hop(s: int, prev: str) -> str:
         a, c = ks[s]
@@ -2273,21 +2281,19 @@ s{s} AS (SELECT w.walk_id, e.dst,
         FROM {prev} w JOIN edges e ON e.src = w.v),
 w{s} AS (SELECT walk_id, dst AS v FROM s{s} WHERE rn = 1)"""
 
+    hops = ",\n".join(hop(s, f"w{s - 1}") for s in steps)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, "
+        f"CAST(v AS BIGINT) AS vertex FROM w{s}"
+        for s in [0] + steps
+    )
     return f"""
 WITH edges AS ({_EDGES}),
 starts AS (SELECT v FROM ({_VERTS}) WHERE v % 37 = 1),
 w0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS walk_id, v
        FROM starts),
-{hop(1, 'w0')},
-{hop(2, 'w1')},
-{hop(3, 'w2')}
-SELECT walk_id, CAST(0 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w0
-UNION ALL
-SELECT walk_id, CAST(1 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w1
-UNION ALL
-SELECT walk_id, CAST(2 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w2
-UNION ALL
-SELECT walk_id, CAST(3 AS BIGINT) AS step, CAST(v AS BIGINT) AS vertex FROM w3
+{hops}
+{selects}
 """
 
 

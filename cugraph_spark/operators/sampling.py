@@ -78,6 +78,24 @@ def random_walks(
     fixes the permutation modulus to a known id-space bound, skipping the
     max-id sizing job.
     """
+    if random_walks_type not in ("uniform", "biased", "node2vec"):
+        raise ValueError(
+            f"random_walks_type must be 'uniform', 'biased', or 'node2vec'; "
+            f"got {random_walks_type!r}"
+        )
+    # reject silently-ignored parameter combos (ADVICE r4): a caller who
+    # asked for a deterministic walk must not be handed a nondeterministic
+    # one, and p/q only mean something to node2vec
+    if random_walks_type != "uniform" and (deterministic or rank_modulus is not None):
+        raise ValueError(
+            "deterministic/rank_modulus are only supported for "
+            f"random_walks_type='uniform' (got {random_walks_type!r})"
+        )
+    if random_walks_type != "node2vec" and (p != 1.0 or q != 1.0):
+        raise ValueError(
+            "p/q only apply to random_walks_type='node2vec' "
+            f"(got {random_walks_type!r} with p={p}, q={q})"
+        )
     if random_walks_type == "node2vec":
         return node2vec(
             graph, start_vertices, max_depth, p=p, q=q, seed=seed,
@@ -86,11 +104,6 @@ def random_walks(
     if random_walks_type == "biased":
         return biased_random_walks(
             graph, start_vertices, max_depth, seed=seed, unrenumber=unrenumber
-        )
-    if random_walks_type != "uniform":
-        raise ValueError(
-            f"random_walks_type must be 'uniform', 'biased', or 'node2vec'; "
-            f"got {random_walks_type!r}"
         )
     mod_p = None
     if deterministic:
@@ -103,7 +116,9 @@ def random_walks(
             row = graph.edges.agg(
                 F.greatest(F.max(SRC), F.max(DST)).alias("m")
             ).collect()[0]
-            mod_p = _next_prime_above(int(row[0]) + 1)
+            # edgeless graph → NULL max: any modulus works, every walk stops
+            # at its start vertex (the step-1 frontier is empty)
+            mod_p = _next_prime_above(int(row[0]) + 1) if row[0] is not None else 2
 
     starts = _starts(graph, start_vertices)
     frontier = starts.select("walk_id", F.col("v").alias("cur"))
@@ -163,6 +178,19 @@ def biased_random_walks(
         # (graph.py:332-334), under which "biased" degenerates to uniform —
         # reject like the reference's PLC biased sampler does
         raise ValueError("biased random walks require a weighted graph")
+    # the exponential race -log(u)/w is only a draw ∝ w for w > 0: a
+    # negative weight flips the key sign and that edge ALWAYS wins the
+    # argmin; a zero weight nulls the key.  Reject non-positive (and null)
+    # weights up front, mirroring the reference PLC biased sampler's
+    # positive-weight requirement (ADVICE r4).
+    bad = graph.edges.filter(
+        F.col(WGT).isNull() | (F.col(WGT) <= 0)
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            "biased random walks require strictly positive edge weights "
+            "(found a null or non-positive weight)"
+        )
     starts = _starts(graph, start_vertices)
     frontier = starts.select("walk_id", F.col("v").alias("cur"))
     paths = [frontier.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex"))]

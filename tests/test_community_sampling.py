@@ -219,3 +219,53 @@ def test_louvain_karate(spark, karate_graph):
     assert abs(q - nxq) < 1e-6
     # quality: known optimum is ~0.42; local moving should land close
     assert q > 0.38
+
+
+def test_biased_walks_reject_nonpositive_weights(spark):
+    """ADVICE r4: a negative weight flips the exponential-race key sign and
+    that edge would always win the argmin — must raise, not mis-sample."""
+    rows = [(0, 1, 1.0), (0, 2, -0.5), (1, 0, 1.0), (2, 0, 1.0)]
+    df = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    g = LinkGraph.from_edges(df, directed=True, renumber=True, weight="weight")
+    starts = spark.createDataFrame([(0,)], "v LONG")
+    with pytest.raises(ValueError, match="strictly positive"):
+        biased_random_walks(g, starts, max_depth=2)
+    g.unpersist()
+    rows0 = [(0, 1, 1.0), (0, 2, 0.0), (1, 0, 1.0), (2, 0, 1.0)]
+    df0 = spark.createDataFrame(rows0, "src LONG, dst LONG, weight DOUBLE")
+    g0 = LinkGraph.from_edges(df0, directed=True, renumber=True, weight="weight")
+    with pytest.raises(ValueError, match="strictly positive"):
+        biased_random_walks(g0, starts, max_depth=2)
+    g0.unpersist()
+
+
+def test_random_walks_rejects_incompatible_params(karate_graph, spark):
+    """ADVICE r4: deterministic/rank_modulus silently dropped for biased/
+    node2vec, and p/q silently dropped outside node2vec — now ValueError."""
+    starts = spark.createDataFrame([(0,)], "v LONG")
+    with pytest.raises(ValueError, match="deterministic"):
+        random_walks(
+            karate_graph, starts, 3, random_walks_type="node2vec",
+            deterministic=True,
+        )
+    with pytest.raises(ValueError, match="deterministic"):
+        random_walks(
+            karate_graph, starts, 3, random_walks_type="biased", rank_modulus=97
+        )
+    with pytest.raises(ValueError, match="p/q"):
+        random_walks(karate_graph, starts, 3, p=0.5)
+    with pytest.raises(ValueError, match="p/q"):
+        random_walks(karate_graph, starts, 3, random_walks_type="biased", q=2.0)
+
+
+def test_deterministic_walks_on_edgeless_graph(spark):
+    """ADVICE r4: auto modulus sizing hit int(None)+1 on an edgeless graph;
+    must now return the starts-only walk set."""
+    # a graph whose only rows are self loops that from_edges drops would be
+    # empty; use two isolated vertices via a filtered frame instead
+    df = spark.createDataFrame([(0, 1)], "src LONG, dst LONG").filter("src > 99")
+    g = LinkGraph.from_edges(df, directed=True, renumber=False)
+    starts = spark.createDataFrame([(5,), (7,)], "v LONG")
+    out = random_walks(g, starts, max_depth=3, deterministic=True).collect()
+    assert sorted((r.step, r.vertex) for r in out) == [(0, 5), (0, 7)]
+    g.unpersist()
