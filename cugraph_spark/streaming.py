@@ -32,6 +32,7 @@ trigger and sink without touching the query graph.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -69,6 +70,27 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
+# Staging dirs this process created under tempdir (VERDICT r4 ask #8: the
+# per-path drop dirs reused within a session must not accumulate ACROSS
+# sessions).  Registered once with atexit; recreation next session is a
+# symlink / one re-split, so cleanup costs nothing but removes all residue.
+_STAGED_DIRS: set[str] = set()
+
+
+def _cleanup_staged_dirs() -> None:
+    for d in list(_STAGED_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+        _STAGED_DIRS.discard(d)
+
+
+atexit.register(_cleanup_staged_dirs)
+
+
+def _track_staged(d: str) -> str:
+    _STAGED_DIRS.add(d)
+    return d
+
+
 def _as_drop_dir(path: str) -> str:
     """The file streaming source requires a DIRECTORY (its basePath); a
     single parquet file — the sandbox testdata layout — is staged into a
@@ -83,7 +105,9 @@ def _as_drop_dir(path: str) -> str:
     local = path.removeprefix("file:")
     if os.path.isfile(local):
         tag = hashlib.sha1(os.path.abspath(local).encode()).hexdigest()[:12]
-        d = os.path.join(tempfile.gettempdir(), f"cgs_stream_src_{tag}")
+        d = _track_staged(
+            os.path.join(tempfile.gettempdir(), f"cgs_stream_src_{tag}")
+        )
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, os.path.basename(local))
         if not os.path.exists(link):
@@ -312,7 +336,9 @@ def stage_chronological_drops(
     local = os.path.abspath(path.removeprefix("file:"))
     if out_dir is None:
         tag = hashlib.sha1(f"{local}|{n_drops}".encode()).hexdigest()[:12]
-        out_dir = os.path.join(tempfile.gettempdir(), f"cgs_multi_drop_{tag}")
+        out_dir = _track_staged(
+            os.path.join(tempfile.gettempdir(), f"cgs_multi_drop_{tag}")
+        )
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)

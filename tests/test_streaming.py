@@ -176,3 +176,22 @@ def test_watermark_append_emits_closed_windows(spark, events_dir):
     assert joined.filter(F.col("n_events") != F.col("want_n")).count() == 0
     # and the stream did emit the early windows (data spans ≥ several hours)
     assert got.count() > 0
+
+
+def test_staged_drop_dirs_cleaned_at_exit(spark):
+    """VERDICT r4 ask #8: the deterministic per-path staging dirs reused
+    within a session must not accumulate across sessions — every dir this
+    process stages is registered and removed by the atexit hook (invoked
+    directly here), and repeated staging of the same input reuses the
+    SAME dir rather than minting new residue."""
+    src = f"{SF_DIR}/events.parquet"
+    d1 = st._as_drop_dir(src)
+    d2 = st._as_drop_dir(src)  # deterministic reuse, no second dir
+    assert d1 == d2 and os.path.isdir(d1)
+    m1 = st.stage_chronological_drops(spark, src, n_drops=2)
+    m2 = st.stage_chronological_drops(spark, src, n_drops=2)
+    assert m1 == m2 and os.path.isdir(m1)
+    assert {d1, m1} <= st._STAGED_DIRS
+    st._cleanup_staged_dirs()
+    assert not os.path.exists(d1) and not os.path.exists(m1)
+    assert not st._STAGED_DIRS
