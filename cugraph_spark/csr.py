@@ -25,12 +25,15 @@ map-side combine the CSR kernel does with bincount).  The structure
 itself, though, is reusable wherever a per-partition imperative kernel
 genuinely wins (merge-intersection, sampling with replacement).
 
-Scale nuance (measured round 4, BENCH.md "DataFrame vs CSR … scale
-21"): the Arrow-boundary cost is a per-superstep CONSTANT, so the
-ratio shrinks with graph size — 3.3× slower at 600k edges but parity
-within ambient noise at 33M edges (per-round interleaved ratios
-0.82–1.56).  The DataFrame path stays the default; nothing about this
-path degrades at 100 TB beyond that constant.
+Scale nuance (measured round 5 full-capacity soak, BENCH.md "Round-5
+chunked-CSR soak"; supersedes round 4's capacity-oscillating 0.82–1.56
+band): the Arrow-boundary cost is a per-superstep CONSTANT, so the
+ratio shrinks with graph size — 3.3× slower at 600k edges narrowing to
+1.17–1.43× (median 1.32×) at 33M edges, and chunking itself is free
+(forcing ~4 chunks/partition at max_chunk_edges=262144 reads +1.9%
+over the default single-chunk packing).  The DataFrame path stays the
+default; nothing about this path degrades at 100 TB beyond that
+bounded constant.
 """
 
 from __future__ import annotations
